@@ -1,0 +1,334 @@
+"""From-scratch differentiable MANO hand model in JAX.
+
+Reference parity: the PyTorch reference imports ``manopth.ManoLayer``
+(hassony2/manopth, ``manopth/manolayer.py`` + ``rodrigues_layer.py``); this
+module reimplements the full forward from the published MANO math (Romero et
+al., SIGGRAPH Asia 2017) as fused XLA ops:
+
+  1. PCA pose decode: ``theta45 = hands_mean + coeffs @ hands_components[:ncomps]``
+  2. batched Rodrigues over the 16-joint axis-angle stack
+  3. shape blendshapes: ``v_shaped = v_template + shapedirs . betas``
+  4. joint regression: ``J = J_regressor @ v_shaped``
+  5. pose-corrective blendshapes on ``vec(R[1:] - I)``
+  6. forward kinematics along the fixed parent chain
+  7. linear blend skinning (einsum — lands on the MXU)
+  8. append 5 fingertip vertices -> 21 joints, reorder to the standard order,
+     optional root-centering at ``center_idx``, optional mm scaling.
+
+Every step is batched and jit/grad-safe: static shapes, no Python branching
+on traced values. The kinematic chain (16 joints) is unrolled at trace time.
+
+Assets: the real ``MANO_RIGHT.pkl``/``MANO_LEFT.pkl`` (MPI-licensed,
+user-downloaded, chumpy-pickled) load through a chumpy-free unpickler.
+``synthetic_mano_model`` builds a structurally identical stand-in (convex
+blob + plausible kinematic tree) so every test and benchmark runs without
+the licensed asset.
+
+NOTE on conventions (reference tree was unreadable at survey time; these are
+encoded from the published manopth source and must be re-verified against it
+when available): joint parents, fingertip vertex ids, and the 21-joint
+reorder below follow hassony2/manopth ``manolayer.py``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import io
+import pickle
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hocon.geometry.rot import rodrigues, with_zeros_4x4
+
+# MANO kinematic tree: 0 wrist; chains in model order
+# index(1-3), middle(4-6), pinky(7-9), ring(10-12), thumb(13-15).
+MANO_PARENTS = (-1, 0, 1, 2, 0, 4, 5, 0, 7, 8, 0, 10, 11, 0, 13, 14)
+
+# Fingertip vertex ids appended as joints 16..20 (manopth convention:
+# thumb, index, middle, ring, pinky tips).
+FINGERTIP_VERT_IDS = (745, 317, 444, 556, 673)
+
+# Reorder of the 21 raw joints (16 kinematic + 5 tips) to the standard
+# evaluation order: wrist, thumb(1..tip), index, middle, ring, pinky.
+JOINT_REORDER = (
+    0, 13, 14, 15, 16,   # thumb chain + tip
+    1, 2, 3, 17,         # index
+    4, 5, 6, 18,         # middle
+    10, 11, 12, 19,      # ring
+    7, 8, 9, 20,         # pinky
+)
+
+N_VERTS = 778
+N_JOINTS_KIN = 16
+N_JOINTS = 21
+N_POSE_FULL = 45  # 15 non-root joints x 3 axis-angle dofs
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class ManoModel:
+    """MANO model assets as a JAX pytree of arrays.
+
+    Shapes: v_template (V,3); shapedirs (V,3,10); posedirs (V,3,135);
+    joint_regressor (16,V); skin_weights (V,16); hands_components (45,45)
+    (rows = PCA basis vectors); hands_mean (45,); faces (F,3) int32.
+    """
+
+    v_template: jnp.ndarray
+    shapedirs: jnp.ndarray
+    posedirs: jnp.ndarray
+    joint_regressor: jnp.ndarray
+    skin_weights: jnp.ndarray
+    hands_components: jnp.ndarray
+    hands_mean: jnp.ndarray
+    faces: jnp.ndarray = dataclasses.field(metadata=dict(static=False))
+    side: str = dataclasses.field(default="right", metadata=dict(static=True))
+
+    @property
+    def n_verts(self) -> int:
+        return self.v_template.shape[0]
+
+
+def _chumpy_free_load(path: str) -> dict:
+    """Unpickle a MANO .pkl without the (unavailable) chumpy package.
+
+    The official assets store chumpy ``Ch`` array wrappers; we substitute a
+    stub whose state exposes the underlying numpy buffer.
+    """
+
+    class _ChStub:
+        def __setstate__(self, state):
+            self.__dict__.update(state)
+
+        def __array__(self, dtype=None):
+            arr = None
+            for key in ("r", "x", "a", "v"):
+                if key in self.__dict__:
+                    arr = np.asarray(self.__dict__[key])
+                    break
+            if arr is None:
+                raise ValueError("chumpy stub: no array payload found")
+            return arr.astype(dtype) if dtype is not None else arr
+
+    class _Unpickler(pickle.Unpickler):
+        def find_class(self, module, name):
+            if module.startswith("chumpy"):
+                return _ChStub
+            if module == "scipy.sparse.csc" or module.endswith("csc_matrix"):
+                import scipy.sparse  # noqa: deferred; scipy ships with jax stack
+
+                return scipy.sparse.csc_matrix
+            return super().find_class(module, name)
+
+    with open(path, "rb") as f:
+        data = f.read()
+    return _Unpickler(io.BytesIO(data), encoding="latin1").load()
+
+
+def _to_dense(x: Any) -> np.ndarray:
+    if hasattr(x, "todense"):
+        return np.asarray(x.todense())
+    return np.asarray(x)
+
+
+def load_mano_model(path: str, side: str = "right") -> ManoModel:
+    """Load official MANO assets (chumpy-free) into a :class:`ManoModel`."""
+    raw = _chumpy_free_load(path)
+    f32 = lambda k: jnp.asarray(_to_dense(raw[k]), dtype=jnp.float32)
+    shapedirs = jnp.asarray(_to_dense(raw["shapedirs"]), dtype=jnp.float32)
+    return ManoModel(
+        v_template=f32("v_template"),
+        shapedirs=shapedirs,
+        posedirs=f32("posedirs"),
+        joint_regressor=jnp.asarray(
+            _to_dense(raw["J_regressor"]), dtype=jnp.float32
+        ),
+        skin_weights=f32("weights"),
+        hands_components=f32("hands_components"),
+        hands_mean=f32("hands_mean"),
+        faces=jnp.asarray(np.asarray(raw["f"], dtype=np.int32)),
+        side=side,
+    )
+
+
+def synthetic_mano_model(seed: int = 0, side: str = "right") -> ManoModel:
+    """Structurally exact MANO stand-in for tests/benchmarks (no license).
+
+    Builds a closed convex blob with exactly 778 vertices (Fibonacci sphere
+    + convex hull), a 16-joint chain laid out like a hand, distance-based
+    skinning weights, and small random blendshapes. Deterministic in
+    ``seed``.
+    """
+    rng = np.random.default_rng(seed)
+
+    # Fibonacci sphere: 778 well-spread points; hull triangulates them.
+    n = N_VERTS
+    idx = np.arange(n, dtype=np.float64) + 0.5
+    phi = np.arccos(1.0 - 2.0 * idx / n)
+    theta = np.pi * (1.0 + 5.0**0.5) * idx
+    pts = np.stack(
+        [np.cos(theta) * np.sin(phi), np.sin(theta) * np.sin(phi), np.cos(phi)],
+        axis=-1,
+    )
+    # Stretch into a hand-ish slab (palm plane x/y, thin z), ~18 cm long.
+    v_template = (pts * np.array([0.09, 0.05, 0.015])).astype(np.float32)
+
+    from scipy.spatial import ConvexHull
+
+    hull = ConvexHull(pts)
+    faces = hull.simplices.astype(np.int32)
+    # Orient faces outward (hull gives arbitrary winding).
+    tri = pts[faces]
+    normals = np.cross(tri[:, 1] - tri[:, 0], tri[:, 2] - tri[:, 0])
+    centroids = tri.mean(axis=1)
+    flip = (normals * centroids).sum(-1) < 0
+    faces[flip] = faces[flip][:, ::-1]
+
+    # Joint layout: wrist at -x end, five 3-joint chains fanning in +x.
+    joints = np.zeros((N_JOINTS_KIN, 3), dtype=np.float32)
+    joints[0] = [-0.07, 0.0, 0.0]
+    chains = {  # model-order chains: index, middle, pinky, ring, thumb
+        (1, 2, 3): 0.02,
+        (4, 5, 6): 0.0,
+        (7, 8, 9): -0.04,
+        (10, 11, 12): -0.02,
+        (13, 14, 15): 0.045,
+    }
+    for chain, y in chains.items():
+        for k, j in enumerate(chain):
+            joints[j] = [-0.02 + 0.035 * (k + 1), y, 0.0]
+
+    # Dense joint regressor: soft-nearest vertices to each joint.
+    d = np.linalg.norm(v_template[None] - joints[:, None], axis=-1)  # (16,V)
+    jreg = np.exp(-((d / 0.01) ** 2))
+    jreg /= jreg.sum(axis=1, keepdims=True) + 1e-9
+    # Skinning weights: softmax over inverse joint distance.
+    w = np.exp(-((d.T / 0.03) ** 2)) + 1e-6  # (V,16)
+    w /= w.sum(axis=1, keepdims=True)
+
+    shapedirs = (rng.standard_normal((n, 3, 10)) * 0.002).astype(np.float32)
+    posedirs = (rng.standard_normal((n, 3, 135)) * 0.0005).astype(np.float32)
+    comps = np.linalg.qr(rng.standard_normal((45, 45)))[0].astype(np.float32)
+    hands_mean = (rng.standard_normal(45) * 0.1).astype(np.float32)
+
+    return ManoModel(
+        v_template=jnp.asarray(v_template),
+        shapedirs=jnp.asarray(shapedirs),
+        posedirs=jnp.asarray(posedirs),
+        joint_regressor=jnp.asarray(jreg.astype(np.float32)),
+        skin_weights=jnp.asarray(w.astype(np.float32)),
+        hands_components=jnp.asarray(comps),
+        hands_mean=jnp.asarray(hands_mean),
+        faces=jnp.asarray(faces),
+        side=side,
+    )
+
+
+def pca_to_full_pose(
+    model: ManoModel,
+    pose_pca: jnp.ndarray,
+    use_pca: bool = True,
+    flat_hand_mean: bool = False,
+) -> jnp.ndarray:
+    """Decode pose coefficients to the full 45-dof axis-angle vector.
+
+    Args:
+      pose_pca: (B, ncomps) PCA coefficients if ``use_pca`` else (B, 45)
+        raw axis-angle.
+    """
+    if use_pca:
+        ncomps = pose_pca.shape[-1]
+        full = pose_pca @ model.hands_components[:ncomps]
+    else:
+        full = pose_pca
+    if not flat_hand_mean:
+        full = full + model.hands_mean
+    return full
+
+
+def mano_forward(
+    model: ManoModel,
+    pose_pca: jnp.ndarray,
+    betas: jnp.ndarray,
+    global_rot: jnp.ndarray,
+    trans: Optional[jnp.ndarray] = None,
+    use_pca: bool = True,
+    flat_hand_mean: bool = False,
+    center_idx: Optional[int] = None,
+    scale_mm: bool = True,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """MANO forward pass.
+
+    Args:
+      pose_pca: (B, ncomps) PCA pose coefficients (or (B,45) axis-angle if
+        ``use_pca=False``).
+      betas: (B, 10) shape coefficients.
+      global_rot: (B, 3) root axis-angle.
+      trans: optional (B, 3) root translation (in meters, applied before
+        mm scaling).
+      center_idx: if set, subtract joint ``center_idx`` (in the 21-joint
+        standard order) from verts and joints — reference default 9
+        (middle MCP) for FPHAB.
+      scale_mm: multiply outputs by 1000 (manopth/reference convention).
+
+    Returns:
+      verts: (B, 778, 3); joints: (B, 21, 3).
+    """
+    b = pose_pca.shape[0]
+    dtype = pose_pca.dtype
+
+    full_pose = pca_to_full_pose(model, pose_pca, use_pca, flat_hand_mean)
+    all_aa = jnp.concatenate([global_rot, full_pose], axis=-1).reshape(b, 16, 3)
+    rots = rodrigues(all_aa)  # (B,16,3,3)
+
+    v_shaped = model.v_template[None] + jnp.einsum(
+        "vds,bs->bvd", model.shapedirs, betas
+    )
+    j_rest = jnp.einsum("jv,bvd->bjd", model.joint_regressor, v_shaped)  # (B,16,3)
+
+    eye = jnp.eye(3, dtype=dtype)
+    pose_feat = (rots[:, 1:] - eye).reshape(b, 135)
+    v_posed = v_shaped + jnp.einsum("vdp,bp->bvd", model.posedirs, pose_feat)
+
+    # Forward kinematics along the fixed parent chain (unrolled: 16 joints).
+    rel_trans = [j_rest[:, 0]]
+    for j in range(1, N_JOINTS_KIN):
+        rel_trans.append(j_rest[:, j] - j_rest[:, MANO_PARENTS[j]])
+    local = with_zeros_4x4(rots, jnp.stack(rel_trans, axis=1))  # (B,16,4,4)
+
+    glob = [local[:, 0]]
+    for j in range(1, N_JOINTS_KIN):
+        glob.append(jnp.matmul(glob[MANO_PARENTS[j]], local[:, j]))
+    g = jnp.stack(glob, axis=1)  # (B,16,4,4)
+
+    joints_kin = g[..., :3, 3]  # (B,16,3)
+
+    # Remove rest-pose joint locations from the skinning transforms:
+    # G'_j = G_j - [0 | G_j[:3,:3] @ j_rest_j] in the translation column.
+    correction = jnp.einsum("bjrc,bjc->bjr", g[..., :3, :3], j_rest)
+    g_skin_rot = g[..., :3, :3]
+    g_skin_t = g[..., :3, 3] - correction
+
+    # LBS: per-vertex blended transform (einsum -> MXU-friendly matmuls).
+    t_rot = jnp.einsum("vj,bjrc->bvrc", model.skin_weights, g_skin_rot)
+    t_t = jnp.einsum("vj,bjr->bvr", model.skin_weights, g_skin_t)
+    verts = jnp.einsum("bvrc,bvc->bvr", t_rot, v_posed) + t_t
+
+    tips = verts[:, jnp.asarray(FINGERTIP_VERT_IDS)]
+    joints = jnp.concatenate([joints_kin, tips], axis=1)  # (B,21,3)
+    joints = joints[:, jnp.asarray(JOINT_REORDER)]
+
+    if trans is not None:
+        verts = verts + trans[:, None]
+        joints = joints + trans[:, None]
+    if scale_mm:
+        verts = verts * 1000.0
+        joints = joints * 1000.0
+    if center_idx is not None:
+        center = joints[:, center_idx : center_idx + 1]
+        verts = verts - center
+        joints = joints - center
+    return verts, joints
