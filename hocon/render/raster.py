@@ -1,0 +1,280 @@
+"""Soft differentiable rasterizer — shared math + pure-XLA backend.
+
+Functional contract (matches what the reference gets from neural_renderer's
+``rasterize`` — silhouette, per-pixel interpolated vertex attributes
+("texture"/flow coordinates), depth — but with a soft formulation giving
+exact gradients instead of NMR's hand-written approximate CUDA backward):
+
+  For every screen-projected triangle f and pixel q:
+    d(q,f)   = signed distance (px) from q to the triangle boundary
+               (positive inside) — computed from normalized barycentric
+               edge functions, all AFFINE in pixel coordinates.
+    p(q,f)   = sigmoid(d / sigma)                    soft coverage
+    sil(q)   = 1 - prod_f (1 - p(q,f))               soft silhouette
+    w(q,f)   = p * exp(-zbar(q,f) / gamma)           depth-softmax weight
+    attr(q)  = sum_f w * attr_f(q) / (sum_f w + w_bg) occlusion-aware blend
+
+  zbar is screen-space-interpolated depth normalized to [0,1] with
+  stop-gradient bounds; nearer faces dominate the softmax, which replaces
+  the z-buffer visibility test (no atomics, deterministic).
+
+TPU mapping: every per-pixel quantity (3 edge distances, zbar, C attributes)
+is affine in (x, y), so evaluating them over a pixel tile is ONE matmul
+``planes[F, 4+C, 3] @ [x; y; 1][3, P]`` that lands on the MXU; the sigmoid /
+exp / reductions over faces are VPU work. The Pallas kernel
+(raster_pallas.py) and this XLA backend share the plane precomputation so
+they are numerically interchangeable.
+
+Numerical safety: log(1-p) is accumulated as -softplus(d/sigma) (never
+log(0)); gamma >= 1/60 keeps exp(-zbar/gamma) in f32 range.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+_DEGENERATE_EPS = 1e-12
+# Faces with |2*area| below this (px^2) are culled as degenerate.
+_AREA_EPS = 1e-6
+
+
+class RasterOutput(NamedTuple):
+    sil: jnp.ndarray  # (B, H, W)   soft silhouette in [0, 1]
+    attr: jnp.ndarray  # (B, H, W, C) aggregated vertex attributes
+    depth: jnp.ndarray  # (B, H, W)  aggregated normalized depth in [0, 1]
+    den: jnp.ndarray  # (B, H, W)   softmax denominator (visibility mass)
+
+
+class FacePlanes(NamedTuple):
+    """Per-face affine coefficient rows: value(x, y) = row . (x, y, 1)."""
+
+    rows: jnp.ndarray  # (B, F, 3 + 1 + C, 3): 3 edge-distance rows, zbar, attrs
+    valid: jnp.ndarray  # (B, F) 1.0 for non-degenerate faces
+
+
+def normalize_depth(
+    verts_z: jnp.ndarray, margin: float = 0.05
+) -> jnp.ndarray:
+    """Normalize camera-space z to [0,1] per batch element (stop-grad bounds)."""
+    zmin = jax.lax.stop_gradient(jnp.min(verts_z, axis=-1, keepdims=True))
+    zmax = jax.lax.stop_gradient(jnp.max(verts_z, axis=-1, keepdims=True))
+    span = jnp.maximum(zmax - zmin, 1e-6)
+    return (verts_z - zmin) / span * (1.0 - 2.0 * margin) + margin
+
+
+def face_planes(
+    verts_pix: jnp.ndarray,
+    verts_zbar: jnp.ndarray,
+    faces: jnp.ndarray,
+    attrs: Optional[jnp.ndarray],
+) -> FacePlanes:
+    """Build the affine plane rows for every face.
+
+    Args:
+      verts_pix: (B, V, 2) screen-space vertex positions in pixels.
+      verts_zbar: (B, V) normalized depth in [0, 1] (see normalize_depth).
+      faces: (F, 3) int vertex indices (shared across batch).
+      attrs: optional (B, V, C) per-vertex attributes to interpolate.
+    """
+    fv = verts_pix[:, faces]  # (B, F, 3, 2)
+    fz = verts_zbar[:, faces]  # (B, F, 3)
+    ones = jnp.ones_like(fz)
+    # mat columns are the homogeneous vertices: [x;y;1] per vertex.
+    mat = jnp.stack([fv[..., 0], fv[..., 1], ones], axis=-2)  # (B, F, 3, 3)
+
+    # Closed-form 3x3 inverse via adjugate (batched, no linalg call needed).
+    a, b, c = mat[..., 0, 0], mat[..., 0, 1], mat[..., 0, 2]
+    d, e, f = mat[..., 1, 0], mat[..., 1, 1], mat[..., 1, 2]
+    g, h, i = mat[..., 2, 0], mat[..., 2, 1], mat[..., 2, 2]
+    adj = jnp.stack(
+        [
+            jnp.stack([e * i - f * h, c * h - b * i, b * f - c * e], -1),
+            jnp.stack([f * g - d * i, a * i - c * g, c * d - a * f], -1),
+            jnp.stack([d * h - e * g, b * g - a * h, a * e - b * d], -1),
+        ],
+        axis=-2,
+    )  # (B, F, 3, 3)
+    # det == 2 * signed triangle area. Compute it from edge vectors, not the
+    # adjugate expansion: differences first makes it EXACTLY zero for
+    # duplicate-vertex faces in f32 (the adjugate form leaves a ~1e-5
+    # rounding residue that would let degenerate faces leak garbage planes).
+    det = (b - a) * (f - d) - (c - a) * (e - d)
+    valid = (jnp.abs(det) > _AREA_EPS).astype(verts_pix.dtype)
+    safe_det = jnp.where(jnp.abs(det) > _AREA_EPS, det, 1.0)
+    # Rows of minv give barycentric coords: w_k(x,y) = minv[k] . (x,y,1).
+    minv = adj / safe_det[..., None, None]
+
+    # Edge-distance normalization: |grad w_k| = ||(a_k, b_k)||, so
+    # w_k / |grad w_k| is the signed pixel distance to edge line k.
+    grad_norm = jnp.sqrt(
+        minv[..., 0] ** 2 + minv[..., 1] ** 2 + _DEGENERATE_EPS
+    )  # (B, F, 3)
+    edge_rows = minv / grad_norm[..., None]  # (B, F, 3, 3)
+
+    z_row = jnp.einsum("bfk,bfkc->bfc", fz, minv)[..., None, :]  # (B,F,1,3)
+    rows = [edge_rows, z_row]
+    if attrs is not None:
+        fattr = attrs[:, faces]  # (B, F, 3, C)
+        attr_rows = jnp.einsum("bfkc,bfkm->bfcm", fattr, minv)  # (B,F,C,3)
+        rows.append(attr_rows)
+    return FacePlanes(rows=jnp.concatenate(rows, axis=-2), valid=valid)
+
+
+def _pixel_grid(h: int, w: int, dtype) -> jnp.ndarray:
+    """Homogeneous pixel-center coordinates, shape (3, H*W)."""
+    ys = (jnp.arange(h, dtype=dtype) + 0.5)[:, None]
+    xs = (jnp.arange(w, dtype=dtype) + 0.5)[None, :]
+    x = jnp.broadcast_to(xs, (h, w)).reshape(-1)
+    y = jnp.broadcast_to(ys, (h, w)).reshape(-1)
+    return jnp.stack([x, y, jnp.ones_like(x)], axis=0)
+
+
+def _aggregate_chunk(planes_chunk, valid_chunk, pix, sigma, gamma):
+    """Evaluate one face chunk against one pixel block.
+
+    planes_chunk: (B, FC, R, 3); valid_chunk: (B, FC); pix: (3, P).
+    Returns per-pixel partial accumulators:
+      log_neg (B, P): sum_f log(1 - p_f)
+      num     (B, C+1, P): sum_f w_f * [attr_f; zbar_f]
+      den     (B, P): sum_f w_f
+    """
+    vals = jnp.einsum(
+        "bfrk,kp->bfrp", planes_chunk, pix, precision=jax.lax.Precision.HIGHEST
+    )  # (B, FC, R, P)
+    d = jnp.min(vals[:, :, 0:3], axis=2)  # (B, FC, P) signed px distance
+    d = jnp.where(valid_chunk[..., None] > 0, d, -1e9)
+    logits = d / sigma
+    # log(1 - sigmoid(x)) == -softplus(x): stable accumulation for the
+    # silhouette product.
+    log_neg = -jax.nn.softplus(logits)  # (B, FC, P)
+    p = jax.nn.sigmoid(logits)
+    # Clamp interpolated depth to the normalized range: inside a face the
+    # affine interpolation already lies in [0,1]; outside it extrapolates
+    # arbitrarily and would overflow exp(-z/gamma) in f32.
+    zbar = jnp.clip(vals[:, :, 3], 0.0, 1.0)  # (B, FC, P)
+    w = p * jnp.exp(-zbar / gamma)  # (B, FC, P)
+    interp = jnp.concatenate(
+        [vals[:, :, 4:], zbar[:, :, None]], axis=2
+    )  # (B, FC, C+1, P)
+    num = jnp.einsum("bfp,bfcp->bcp", w, interp)
+    return jnp.sum(log_neg, axis=1), num, jnp.sum(w, axis=1)
+
+
+def rasterize_planes_xla(
+    planes: FacePlanes,
+    image_size: tuple[int, int],
+    sigma: float,
+    gamma: float,
+    face_chunk: int = 128,
+    pixel_rows: int = 16,
+) -> RasterOutput:
+    """Streaming XLA rasterization of prepared face planes.
+
+    Scans over face chunks (bounded memory) for each block of pixel rows.
+    Fully differentiable; used on CPU/tests and as the recompute backward
+    for the Pallas forward kernel.
+    """
+    rows, valid = planes.rows, planes.valid
+    b, f, r, _ = rows.shape
+    n_attr = r - 3  # zbar + C user attrs
+    h, w = image_size
+    dtype = rows.dtype
+
+    # Pad faces to a chunk multiple (padded faces are invalid -> no-ops).
+    f_pad = (-f) % face_chunk
+    if f_pad:
+        rows = jnp.pad(rows, ((0, 0), (0, f_pad), (0, 0), (0, 0)))
+        valid = jnp.pad(valid, ((0, 0), (0, f_pad)))
+    n_chunks = rows.shape[1] // face_chunk
+    rows_c = rows.reshape(b, n_chunks, face_chunk, r, 3)
+    valid_c = valid.reshape(b, n_chunks, face_chunk)
+
+    h_pad = (-h) % pixel_rows
+    grid = _pixel_grid(h + h_pad, w, dtype).reshape(3, -1, pixel_rows * w)
+    n_blocks = grid.shape[1]
+
+    def pixel_block(pix):  # pix: (3, P)
+        p_sz = pix.shape[-1]
+
+        def scan_fn(carry, chunk):
+            log_neg, num, den = carry
+            planes_chunk, valid_chunk = chunk
+            ln, nu, de = _aggregate_chunk(planes_chunk, valid_chunk, pix, sigma, gamma)
+            return (log_neg + ln, num + nu, den + de), None
+
+        init = (
+            jnp.zeros((b, p_sz), dtype),
+            jnp.zeros((b, n_attr, p_sz), dtype),
+            jnp.zeros((b, p_sz), dtype),
+        )
+        (log_neg, num, den), _ = jax.lax.scan(
+            scan_fn,
+            init,
+            (rows_c.transpose(1, 0, 2, 3, 4), valid_c.transpose(1, 0, 2)),
+        )
+        return log_neg, num, den
+
+    log_neg, num, den = jax.lax.map(pixel_block, grid.transpose(1, 0, 2))
+    # (n_blocks, B, ...) -> (B, H, W, ...)
+    log_neg = log_neg.transpose(1, 0, 2).reshape(b, h + h_pad, w)[:, :h]
+    den = den.transpose(1, 0, 2).reshape(b, h + h_pad, w)[:, :h]
+    num = num.transpose(1, 2, 0, 3).reshape(b, n_attr, h + h_pad, w)[:, :, :h]
+
+    w_bg = jnp.exp(jnp.asarray(-1.0 / gamma, dtype))
+    agg = num / (den + w_bg)[:, None]
+    sil = 1.0 - jnp.exp(log_neg)
+    depth_bg = agg[:, -1] + w_bg / (den + w_bg) * 1.0  # background zbar = 1
+    attr = jnp.moveaxis(agg[:, :-1], 1, -1)
+    return RasterOutput(sil=sil, attr=attr, depth=depth_bg, den=den)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("image_size", "sigma", "gamma", "backend", "face_chunk"),
+)
+def soft_rasterize(
+    verts_pix: jnp.ndarray,
+    verts_z: jnp.ndarray,
+    faces: jnp.ndarray,
+    attrs: Optional[jnp.ndarray] = None,
+    image_size: tuple[int, int] = (256, 256),
+    sigma: float = 1.0,
+    gamma: float = 1.0 / 40.0,
+    backend: str = "auto",
+    face_chunk: int = 128,
+) -> RasterOutput:
+    """Soft-rasterize a batch of meshes. Public entry point.
+
+    Args:
+      verts_pix: (B, V, 2) vertices projected to pixel coordinates.
+      verts_z: (B, V) camera-space depth (any positive scale).
+      faces: (F, 3) int triangle indices.
+      attrs: optional (B, V, C) vertex attributes (e.g. reference-frame
+        pixel coords for the photometric warp).
+      sigma: boundary softness in pixels.
+      gamma: depth-softmax temperature on normalized depth in [0,1]
+        (keep >= 1/60 for f32 range).
+      backend: 'xla', 'pallas', or 'auto' (pallas on TPU else xla).
+    """
+    if attrs is None:
+        attrs = jnp.zeros(verts_pix.shape[:2] + (0,), verts_pix.dtype)
+    zbar = normalize_depth(verts_z)
+    planes = face_planes(verts_pix, zbar, faces, attrs)
+
+    if backend == "auto":
+        on_tpu = jax.default_backend() not in ("cpu",)
+        backend = "pallas" if on_tpu else "xla"
+    if backend == "pallas":
+        from hocon.render.raster_pallas import rasterize_planes_pallas
+
+        return rasterize_planes_pallas(
+            planes, image_size=image_size, sigma=sigma, gamma=gamma
+        )
+    return rasterize_planes_xla(
+        planes, image_size=image_size, sigma=sigma, gamma=gamma,
+        face_chunk=face_chunk,
+    )

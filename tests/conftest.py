@@ -8,17 +8,21 @@ in interpret mode on CPU (handled inside hocon.render).
 
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"  # hard override: unit tests never run on TPU
-_flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (
-        _flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+# NOTE: env vars are NOT enough here — the jaxtyping pytest plugin imports
+# jax before this conftest runs, and jax snapshots JAX_PLATFORMS at import.
+# config.update after import is the reliable override.
+os.environ["JAX_PLATFORMS"] = "cpu"
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")  # unit tests never touch the TPU tunnel
+jax.config.update("jax_num_cpu_devices", 8)  # virtual 8-device mesh for pjit tests
 jax.config.update("jax_enable_x64", False)
 jax.config.update("jax_default_matmul_precision", "highest")
+# Persistent compile cache: this sandbox has a single CPU core, so XLA
+# compiles dominate test wall-clock; cache them across runs.
+jax.config.update("jax_compilation_cache_dir", "/tmp/hocon_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 import pytest  # noqa: E402
 
