@@ -46,14 +46,32 @@ class RasterOutput(NamedTuple):
     sil: jnp.ndarray  # (B, H, W)   soft silhouette in [0, 1]
     attr: jnp.ndarray  # (B, H, W, C) aggregated vertex attributes
     depth: jnp.ndarray  # (B, H, W)  aggregated normalized depth in [0, 1]
-    den: jnp.ndarray  # (B, H, W)   softmax denominator (visibility mass)
+    vis: jnp.ndarray  # (B, H, W)   fraction of softmax mass from faces
+    #                   (1 - background share); use as a soft visibility mask
 
 
 class FacePlanes(NamedTuple):
-    """Per-face affine coefficient rows: value(x, y) = row . (x, y, 1)."""
+    """Per-face affine coefficient rows: value(x, y) = row . (x, y, 1).
 
-    rows: jnp.ndarray  # (B, F, 3 + 1 + C, 3): 3 edge-distance rows, zbar, attrs
+    Row layout (R = 10 + C):
+      rows 0-2: s_k — signed perpendicular distance (px) to the line through
+                edge k (positive inside the triangle),
+      rows 3-5: u_k — along-edge coordinate of the pixel on edge k,
+      rows 6-8: constant rows evaluating to L_k (edge k length),
+      row 9:    zbar (screen-interpolated normalized depth),
+      rows 10+: user attributes.
+    Together these give the exact signed squared distance to the TRIANGLE
+    (not its edge lines): inside d2 = (min_k s_k)^2; outside
+    d2 = -min_k (s_k^2 + overhang_k^2) with overhang = max(0, -u, u - L).
+    The naive min-edge-line-distance formulation leaks coverage far beyond
+    sliver triangles along their extensions; point-to-segment does not.
+    """
+
+    rows: jnp.ndarray  # (B, F, 10 + C, 3)
     valid: jnp.ndarray  # (B, F) 1.0 for non-degenerate faces
+
+
+N_GEOM_ROWS = 10  # s(3) + u(3) + L(3) + zbar(1)
 
 
 def normalize_depth(
@@ -115,8 +133,22 @@ def face_planes(
     )  # (B, F, 3)
     edge_rows = minv / grad_norm[..., None]  # (B, F, 3, 3)
 
+    # Along-edge coordinate rows. Edge k runs A_k -> B_k with
+    # A_k = v_{k+1}, B_k = v_{k+2} (the edge opposite vertex k, matching the
+    # barycentric row s_k above).
+    v_a = fv[:, :, jnp.asarray([1, 2, 0]), :]  # (B, F, 3, 2)
+    v_b = fv[:, :, jnp.asarray([2, 0, 1]), :]
+    e_vec = v_b - v_a
+    e_len = jnp.sqrt(jnp.sum(e_vec**2, axis=-1) + _DEGENERATE_EPS)  # (B,F,3)
+    e_hat = e_vec / e_len[..., None]
+    u_rows = jnp.concatenate(
+        [e_hat, -jnp.sum(v_a * e_hat, axis=-1, keepdims=True)], axis=-1
+    )  # (B, F, 3, 3): u_k(x,y) = (p - A_k) . e_hat_k
+    zero = jnp.zeros_like(e_len)
+    l_rows = jnp.stack([zero, zero, e_len], axis=-1)  # constant rows -> L_k
+
     z_row = jnp.einsum("bfk,bfkc->bfc", fz, minv)[..., None, :]  # (B,F,1,3)
-    rows = [edge_rows, z_row]
+    rows = [edge_rows, u_rows, l_rows, z_row]
     if attrs is not None:
         fattr = attrs[:, faces]  # (B, F, 3, C)
         attr_rows = jnp.einsum("bfkc,bfkm->bfcm", fattr, minv)  # (B,F,C,3)
@@ -137,31 +169,36 @@ def _aggregate_chunk(planes_chunk, valid_chunk, pix, sigma, gamma):
     """Evaluate one face chunk against one pixel block.
 
     planes_chunk: (B, FC, R, 3); valid_chunk: (B, FC); pix: (3, P).
-    Returns per-pixel partial accumulators:
-      log_neg (B, P): sum_f log(1 - p_f)
-      num     (B, C+1, P): sum_f w_f * [attr_f; zbar_f]
-      den     (B, P): sum_f w_f
+    Returns per-pixel per-face quantities for the streaming aggregation:
+      log_neg (B, P): sum_f log(1 - p_f)  (silhouette product)
+      l       (B, FC, P): softmax logits log(p_f) - zbar_f / gamma
+      interp  (B, FC, C+1, P): interpolated [attrs; zbar]
     """
     vals = jnp.einsum(
         "bfrk,kp->bfrp", planes_chunk, pix, precision=jax.lax.Precision.HIGHEST
     )  # (B, FC, R, P)
-    d = jnp.min(vals[:, :, 0:3], axis=2)  # (B, FC, P) signed px distance
-    d = jnp.where(valid_chunk[..., None] > 0, d, -1e9)
-    logits = d / sigma
+    s = vals[:, :, 0:3]  # perpendicular signed distance to edge lines
+    u = vals[:, :, 3:6]  # along-edge coordinate
+    length = vals[:, :, 6:9]  # constant edge lengths
+    overhang = jnp.maximum(jnp.maximum(-u, u - length), 0.0)
+    dist2_out = jnp.min(s * s + overhang * overhang, axis=2)  # (B, FC, P)
+    d_in = jnp.min(s, axis=2)
+    # Signed squared distance to the triangle (SoftRas-style), in px^2.
+    signed_sq = jnp.where(d_in > 0, d_in * d_in, -dist2_out)
+    signed_sq = jnp.where(valid_chunk[..., None] > 0, signed_sq, -1e18)
+    logits = signed_sq / (sigma * sigma)
     # log(1 - sigmoid(x)) == -softplus(x): stable accumulation for the
-    # silhouette product.
+    # silhouette product; log(sigmoid(x)) == -softplus(-x).
     log_neg = -jax.nn.softplus(logits)  # (B, FC, P)
-    p = jax.nn.sigmoid(logits)
     # Clamp interpolated depth to the normalized range: inside a face the
     # affine interpolation already lies in [0,1]; outside it extrapolates
-    # arbitrarily and would overflow exp(-z/gamma) in f32.
-    zbar = jnp.clip(vals[:, :, 3], 0.0, 1.0)  # (B, FC, P)
-    w = p * jnp.exp(-zbar / gamma)  # (B, FC, P)
+    # arbitrarily.
+    zbar = jnp.clip(vals[:, :, 9], 0.0, 1.0)  # (B, FC, P)
+    l = -jax.nn.softplus(-logits) - zbar / gamma  # log(p) - z/gamma
     interp = jnp.concatenate(
-        [vals[:, :, 4:], zbar[:, :, None]], axis=2
+        [vals[:, :, 10:], zbar[:, :, None]], axis=2
     )  # (B, FC, C+1, P)
-    num = jnp.einsum("bfp,bfcp->bcp", w, interp)
-    return jnp.sum(log_neg, axis=1), num, jnp.sum(w, axis=1)
+    return jnp.sum(log_neg, axis=1), l, interp
 
 
 def rasterize_planes_xla(
@@ -180,7 +217,7 @@ def rasterize_planes_xla(
     """
     rows, valid = planes.rows, planes.valid
     b, f, r, _ = rows.shape
-    n_attr = r - 3  # zbar + C user attrs
+    n_attr = r - (N_GEOM_ROWS - 1)  # zbar + C user attrs
     h, w = image_size
     dtype = rows.dtype
 
@@ -197,39 +234,53 @@ def rasterize_planes_xla(
     grid = _pixel_grid(h + h_pad, w, dtype).reshape(3, -1, pixel_rows * w)
     n_blocks = grid.shape[1]
 
+    l_bg = jnp.asarray(-1.0 / gamma, dtype)  # background logit (p=1, zbar=1)
+
     def pixel_block(pix):  # pix: (3, P)
         p_sz = pix.shape[-1]
 
         def scan_fn(carry, chunk):
-            log_neg, num, den = carry
+            # Streaming max-renormalized softmax over faces (+ background):
+            # carry m is the running max logit; accumulators are relative to
+            # exp(m), so gamma can be arbitrarily sharp without under/overflow.
+            log_neg, m, num, den = carry
             planes_chunk, valid_chunk = chunk
-            ln, nu, de = _aggregate_chunk(planes_chunk, valid_chunk, pix, sigma, gamma)
-            return (log_neg + ln, num + nu, den + de), None
+            ln, l, interp = _aggregate_chunk(
+                planes_chunk, valid_chunk, pix, sigma, gamma
+            )
+            m_new = jnp.maximum(m, jnp.max(l, axis=1))
+            scale = jnp.exp(m - m_new)
+            w = jnp.exp(l - m_new[:, None])  # (B, FC, P)
+            num = num * scale[:, None] + jnp.einsum("bfp,bfcp->bcp", w, interp)
+            den = den * scale + jnp.sum(w, axis=1)
+            return (log_neg + ln, m_new, num, den), None
 
+        # Initialize with the background "face": weight 1 at logit l_bg,
+        # zbar_bg = 1, attrs_bg = 0.
+        num0 = jnp.zeros((b, n_attr, p_sz), dtype).at[:, -1].set(1.0)
         init = (
             jnp.zeros((b, p_sz), dtype),
-            jnp.zeros((b, n_attr, p_sz), dtype),
-            jnp.zeros((b, p_sz), dtype),
+            jnp.full((b, p_sz), l_bg, dtype),
+            num0,
+            jnp.ones((b, p_sz), dtype),
         )
-        (log_neg, num, den), _ = jax.lax.scan(
+        (log_neg, m, num, den), _ = jax.lax.scan(
             scan_fn,
             init,
             (rows_c.transpose(1, 0, 2, 3, 4), valid_c.transpose(1, 0, 2)),
         )
-        return log_neg, num, den
+        vis = 1.0 - jnp.exp(l_bg - m) / den
+        return log_neg, num / den[:, None], vis
 
-    log_neg, num, den = jax.lax.map(pixel_block, grid.transpose(1, 0, 2))
+    log_neg, agg, vis = jax.lax.map(pixel_block, grid.transpose(1, 0, 2))
     # (n_blocks, B, ...) -> (B, H, W, ...)
     log_neg = log_neg.transpose(1, 0, 2).reshape(b, h + h_pad, w)[:, :h]
-    den = den.transpose(1, 0, 2).reshape(b, h + h_pad, w)[:, :h]
-    num = num.transpose(1, 2, 0, 3).reshape(b, n_attr, h + h_pad, w)[:, :, :h]
+    vis = vis.transpose(1, 0, 2).reshape(b, h + h_pad, w)[:, :h]
+    agg = agg.transpose(1, 2, 0, 3).reshape(b, n_attr, h + h_pad, w)[:, :, :h]
 
-    w_bg = jnp.exp(jnp.asarray(-1.0 / gamma, dtype))
-    agg = num / (den + w_bg)[:, None]
     sil = 1.0 - jnp.exp(log_neg)
-    depth_bg = agg[:, -1] + w_bg / (den + w_bg) * 1.0  # background zbar = 1
     attr = jnp.moveaxis(agg[:, :-1], 1, -1)
-    return RasterOutput(sil=sil, attr=attr, depth=depth_bg, den=den)
+    return RasterOutput(sil=sil, attr=attr, depth=agg[:, -1], vis=vis)
 
 
 @functools.partial(
@@ -255,7 +306,9 @@ def soft_rasterize(
       faces: (F, 3) int triangle indices.
       attrs: optional (B, V, C) vertex attributes (e.g. reference-frame
         pixel coords for the photometric warp).
-      sigma: boundary softness in pixels.
+      sigma: boundary softness in pixels — coverage is
+        sigmoid(+-d^2 / sigma^2) with d the exact pixel distance to the
+        triangle, so influence is numerically zero beyond ~6*sigma.
       gamma: depth-softmax temperature on normalized depth in [0,1]
         (keep >= 1/60 for f32 range).
       backend: 'xla', 'pallas', or 'auto' (pallas on TPU else xla).
@@ -271,8 +324,18 @@ def soft_rasterize(
     if backend == "pallas":
         from hocon.render.raster_pallas import rasterize_planes_pallas
 
+        fv = jax.lax.stop_gradient(verts_pix[:, faces])  # (B, F, 3, 2)
+        face_bbox = jnp.stack(
+            [
+                jnp.min(fv[..., 1], axis=-1),
+                jnp.max(fv[..., 1], axis=-1),
+                jnp.min(fv[..., 0], axis=-1),
+                jnp.max(fv[..., 0], axis=-1),
+            ],
+            axis=-1,
+        )
         return rasterize_planes_pallas(
-            planes, image_size=image_size, sigma=sigma, gamma=gamma
+            planes, face_bbox, image_size=image_size, sigma=sigma, gamma=gamma
         )
     return rasterize_planes_xla(
         planes, image_size=image_size, sigma=sigma, gamma=gamma,

@@ -23,6 +23,9 @@ jax.config.update("jax_default_matmul_precision", "highest")
 # compiles dominate test wall-clock; cache them across runs.
 jax.config.update("jax_compilation_cache_dir", "/tmp/hocon_jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+# Cache only the JAX-level artifacts: the XLA:CPU AOT cache embeds host
+# machine features and warns/SIGILLs when the sandbox migrates hosts.
+jax.config.update("jax_persistent_cache_enable_xla_caches", "none")
 
 import pytest  # noqa: E402
 

@@ -41,8 +41,19 @@ def _brute_force_oracle(verts_pix, verts_z, faces, attrs, hw, sigma, gamma):
             pix = np.stack([xs, ys, np.ones_like(xs)], axis=-1)  # (h,w,3)
             bary = pix @ minv.T  # (h,w,3)
             gn = np.linalg.norm(minv[:, :2], axis=1)
-            dist = (bary / gn).min(axis=-1)
-            p = 1.0 / (1.0 + np.exp(-dist / sigma))
+            s = bary / gn  # perpendicular distances to the 3 edge lines
+            d_in = s.min(axis=-1)
+            # exact point-to-segment squared distances
+            dist2 = np.full(s.shape[:-1], np.inf)
+            for k in range(3):
+                va, vb = tri[(k + 1) % 3], tri[(k + 2) % 3]
+                L = np.linalg.norm(vb - va)
+                ehat = (vb - va) / max(L, 1e-12)
+                u = (pix[..., :2] - va) @ ehat
+                ov = np.maximum(np.maximum(-u, u - L), 0.0)
+                dist2 = np.minimum(dist2, s[..., k] ** 2 + ov**2)
+            signed_sq = np.where(d_in > 0, d_in**2, -dist2)
+            p = 1.0 / (1.0 + np.exp(-signed_sq / sigma**2))
             one_minus *= 1.0 - p
             zpix = np.clip(bary @ zbar[bi, idx], 0.0, 1.0)
             wgt = p * np.exp(-zpix / gamma)
