@@ -1,0 +1,160 @@
+"""Warp-module tests: bilinear sampling oracle, identity warp, SSIM sanity,
+and the end-to-end property the consistency training relies on."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hocon.render.ssim import ssim, ssim_loss
+from hocon.render.warp import bilinear_sample, photometric_loss, render_warp
+
+
+def test_bilinear_sample_matches_scipy():
+    from scipy.ndimage import map_coordinates
+
+    rng = np.random.default_rng(0)
+    img = rng.random((1, 16, 20, 3)).astype(np.float32)
+    coords = np.stack(
+        np.meshgrid(
+            np.linspace(1.0, 18.0, 9), np.linspace(1.0, 14.0, 7), indexing="xy"
+        ),
+        axis=-1,
+    )[None].astype(np.float32)
+    got = np.asarray(bilinear_sample(jnp.asarray(img), jnp.asarray(coords)))
+    for c in range(3):
+        want = map_coordinates(
+            img[0, :, :, c],
+            [coords[0, ..., 1].ravel() - 0.5, coords[0, ..., 0].ravel() - 0.5],
+            order=1, mode="nearest",
+        ).reshape(7, 9)
+        np.testing.assert_allclose(got[0, :, :, c], want, atol=1e-5)
+
+
+def test_bilinear_sample_identity():
+    rng = np.random.default_rng(1)
+    img = rng.random((2, 8, 8, 1)).astype(np.float32)
+    ys, xs = np.meshgrid(np.arange(8) + 0.5, np.arange(8) + 0.5, indexing="ij")
+    coords = np.broadcast_to(
+        np.stack([xs, ys], axis=-1)[None], (2, 8, 8, 2)
+    ).astype(np.float32)
+    got = bilinear_sample(jnp.asarray(img), jnp.asarray(coords))
+    np.testing.assert_allclose(np.asarray(got), img, atol=1e-6)
+
+
+def test_bilinear_sample_grads_wrt_coords():
+    img = jnp.asarray(np.linspace(0, 1, 64, dtype=np.float32).reshape(1, 8, 8, 1))
+    coords = jnp.full((1, 2, 2, 2), 4.2)
+
+    g = jax.grad(lambda c: jnp.sum(bilinear_sample(img, c)))(coords)
+    assert np.all(np.isfinite(np.asarray(g)))
+    assert np.any(np.asarray(g) != 0)
+
+
+def test_ssim_identical_images_is_one():
+    rng = np.random.default_rng(2)
+    img = jnp.asarray(rng.random((1, 32, 32, 3)).astype(np.float32))
+    s = ssim(img, img)
+    np.testing.assert_allclose(np.asarray(s), 1.0, atol=1e-4)
+    assert float(ssim_loss(img, img)) < 1e-4
+
+
+def test_ssim_decreases_with_noise():
+    rng = np.random.default_rng(3)
+    img = jnp.asarray(rng.random((1, 32, 32, 3)).astype(np.float32))
+    noisy = img + jnp.asarray(rng.normal(0, 0.2, img.shape).astype(np.float32))
+    s_same = float(jnp.mean(ssim(img, img)))
+    s_noisy = float(jnp.mean(ssim(img, noisy)))
+    assert s_noisy < s_same - 0.1
+
+
+def _two_view_scene(mano_model, rot_angle=0.15):
+    """Synthetic two-camera setup observing the same (synthetic) hand."""
+    import hocon.geometry.mano as M
+    from hocon.geometry.rot import rodrigues
+
+    verts, _ = M.mano_forward(
+        mano_model, jnp.zeros((1, 15)), jnp.zeros((1, 10)), jnp.zeros((1, 3)),
+        scale_mm=False,
+    )
+    verts_ref = verts + jnp.asarray([0.0, 0.0, 0.6])
+    rot = rodrigues(jnp.asarray([[0.0, rot_angle, 0.0]]))
+    center = jnp.mean(verts_ref, axis=1, keepdims=True)
+    verts_tgt = (verts_ref - center) @ rot[0].T + center
+    k = jnp.asarray([[[120.0, 0, 32], [0, 120.0, 32], [0, 0, 1.0]]])
+    return verts_ref, verts_tgt, k
+
+
+def test_identity_warp_recovers_target(mano_model):
+    """Same mesh, same view: warping ref->tgt must reproduce the ref image
+    inside the mask (the core correctness property of the warp path)."""
+    verts_ref, _, k = _two_view_scene(mano_model)
+    # Paint a smooth image as the "ref frame".
+    ys, xs = np.meshgrid(np.arange(64), np.arange(64), indexing="ij")
+    ref_img = jnp.asarray(
+        np.stack([xs / 64, ys / 64, (xs + ys) / 128], -1)[None].astype(np.float32)
+    )
+    out = render_warp(
+        verts_ref, verts_ref, mano_model.faces, k, k, ref_img,
+        image_size=(64, 64), backend="xla",
+    )
+    mask = np.asarray(out.mask) > 0.9
+    assert mask.sum() > 100  # hand covers a meaningful area
+    diff = np.abs(np.asarray(out.warped) - np.asarray(ref_img))[mask[..., None][..., 0]]
+    # Inside the confident mask the warp is the identity up to raster
+    # softness; tolerate small edge effects.
+    assert np.median(diff) < 0.02
+
+
+def test_photometric_loss_zero_for_perfect_warp(mano_model):
+    verts_ref, _, k = _two_view_scene(mano_model)
+    ys, xs = np.meshgrid(np.arange(64), np.arange(64), indexing="ij")
+    ref_img = jnp.asarray(
+        np.stack([xs / 64, ys / 64, np.ones_like(xs) * 0.5], -1)[None].astype(
+            np.float32
+        )
+    )
+    out = render_warp(
+        verts_ref, verts_ref, mano_model.faces, k, k, ref_img,
+        image_size=(64, 64), backend="xla",
+    )
+    loss, diag = photometric_loss(out.warped, ref_img, out.mask)
+    assert float(loss) < 0.02
+    assert float(diag["photo_l1"]) < 0.01
+
+
+def test_consistency_gradient_improves_pose(mano_model):
+    """The property sparse-supervision training relies on: with a wrong
+    target pose, the photometric loss gradient w.r.t. the pose moves it
+    toward the true pose."""
+    verts_ref, verts_tgt_true, k = _two_view_scene(mano_model, rot_angle=0.2)
+    ys, xs = np.meshgrid(np.arange(64), np.arange(64), indexing="ij")
+    ref_img = jnp.asarray(
+        np.stack([xs / 64, ys / 64, (3 * xs + ys) / 256], -1)[None].astype(np.float32)
+    )
+    # Ground-truth target image: render the true target mesh textured by
+    # warping the ref image (i.e. the photometric model itself), so the
+    # optimum is exactly at angle=0.2.
+    out_true = render_warp(
+        verts_tgt_true, verts_ref, mano_model.faces, k, k, ref_img,
+        image_size=(64, 64), backend="xla",
+    )
+    tgt_img = out_true.warped
+
+    from hocon.geometry.rot import rodrigues
+
+    def loss_at(angle):
+        rot = rodrigues(jnp.stack([jnp.zeros_like(angle), angle, jnp.zeros_like(angle)])[None])
+        center = jnp.mean(verts_ref, axis=1, keepdims=True)
+        verts_tgt = (verts_ref - center) @ rot[0].T + center
+        out = render_warp(
+            verts_tgt, verts_ref, mano_model.faces, k, k, ref_img,
+            image_size=(64, 64), backend="xla",
+        )
+        loss, _ = photometric_loss(out.warped, tgt_img, out.mask * out_true.mask)
+        return loss
+
+    l_wrong = float(loss_at(jnp.asarray(0.05)))
+    l_true = float(loss_at(jnp.asarray(0.2)))
+    assert l_true < l_wrong, (l_true, l_wrong)
+    g = float(jax.grad(loss_at)(jnp.asarray(0.05)))
+    assert np.isfinite(g) and g < 0  # pushes angle up toward 0.2
