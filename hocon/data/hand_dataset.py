@@ -1,0 +1,176 @@
+"""HandDataset — crop / augment / tensorize wrapper over a pose dataset.
+
+Reference parity: ``meshreg/datasets/handataset.py`` — wraps a pose dataset
+(FPHAB / HO-3D / synthetic), crops an ROI around the hand, applies affine +
+color jitter, adjusts 2D labels and intrinsics by the same affine, and
+returns a query-keyed dict of fixed-shape numpy arrays. Pair mode returns
+(ref, tgt) samples from the same video separated by a temporal spacing —
+the input of photometric-consistency training.
+
+Pose-dataset protocol (duck-typed):
+  __len__()
+  get_sample(i) -> dict with keys:
+    'image'        (H, W, 3) uint8   (or 'image_path')
+    'joints3d_cam' (21, 3) float  meters, camera frame
+    'verts3d_cam'  (778, 3) float or None
+    'camintr'      (3, 3)
+    'obj_verts_can'(Vo, 3) or None, 'obj_faces' (Fo, 3), 'obj_pose' (4, 4)
+    'supervised'   bool
+    'seq_id'       hashable, 'frame_idx' int
+  sample_pair(i, rng) -> (ref_index, tgt_index)   [pair mode]
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence
+
+import numpy as np
+
+from hocon.data.augment import (
+    AugmentConfig,
+    color_jitter,
+    normalize_image,
+    sample_affine_jitter,
+)
+from hocon.data.cropping import (
+    build_crop_affine,
+    square_bbox_from_points,
+    transform_intrinsics,
+    transform_points2d,
+    warp_image,
+)
+from hocon.data.queries import TransQueries
+
+CENTER_IDX = 9  # middle MCP, reference default for FPHAB
+
+
+@dataclasses.dataclass
+class HandDatasetConfig:
+    image_size: int = 256
+    bbox_scale: float = 1.3
+    center_idx: int = CENTER_IDX
+    augment: AugmentConfig = dataclasses.field(default_factory=AugmentConfig)
+    max_obj_verts: int = 600
+    max_obj_faces: int = 1000
+    pair_mode: bool = False
+    train: bool = True
+
+
+def _project(points3d: np.ndarray, k: np.ndarray) -> np.ndarray:
+    hom = points3d @ k.T
+    return hom[:, :2] / np.maximum(hom[:, 2:3], 1e-8)
+
+
+def _load_image(raw: dict) -> np.ndarray:
+    if "image" in raw and raw["image"] is not None:
+        return raw["image"]
+    import cv2
+
+    img = cv2.imread(raw["image_path"], cv2.IMREAD_COLOR)
+    return cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+
+
+class HandDataset:
+    def __init__(self, pose_dataset, config: HandDatasetConfig | None = None,
+                 seed: int = 0):
+        self.pose_dataset = pose_dataset
+        self.cfg = config or HandDatasetConfig()
+        self._seed = seed
+
+    def __len__(self):
+        return len(self.pose_dataset)
+
+    def _process_frame(
+        self,
+        raw: dict,
+        rng: np.random.Generator,
+        color_rng: np.random.Generator | None = None,
+    ) -> dict:
+        cfg = self.cfg
+        image = _load_image(raw).astype(np.float32)
+        if image.max() > 2.0:
+            image = image / 255.0
+        joints3d = np.asarray(raw["joints3d_cam"], np.float32)
+        k = np.asarray(raw["camintr"], np.float32)
+        joints2d = _project(joints3d, k)
+
+        center, side = square_bbox_from_points(joints2d, cfg.bbox_scale)
+        if cfg.train and cfg.augment.enabled:
+            scale_j, rot_j, center_j = sample_affine_jitter(rng, cfg.augment, side)
+        else:
+            scale_j, rot_j, center_j = 1.0, 0.0, np.zeros(2)
+        aff = build_crop_affine(
+            center, side, cfg.image_size, rot_j, scale_j, center_j
+        )
+
+        crop = warp_image(image, aff, cfg.image_size)
+        if cfg.train and cfg.augment.enabled:
+            # In pair mode the SAME color jitter must hit both frames or the
+            # photometric-consistency target would be corrupted by
+            # augmentation; callers pass a shared-seed color_rng.
+            crop = color_jitter(color_rng if color_rng is not None else rng,
+                                crop, cfg.augment)
+        crop = normalize_image(crop)
+
+        k_adj = transform_intrinsics(k, aff).astype(np.float32)
+        joints2d_adj = transform_points2d(joints2d, aff).astype(np.float32)
+
+        center3d = joints3d[cfg.center_idx]
+        out = {
+            TransQueries.IMAGE.value: crop.astype(np.float32),
+            TransQueries.CAMINTR.value: k_adj,
+            TransQueries.JOINTS2D.value: joints2d_adj,
+            TransQueries.JOINTS3D.value: (
+                (joints3d - center3d) * 1000.0
+            ).astype(np.float32),
+            TransQueries.JOINTS_CAM.value: joints3d,
+            TransQueries.CENTER3D.value: center3d.astype(np.float32),
+            TransQueries.SUP_MASK.value: np.float32(
+                1.0 if raw.get("supervised", True) else 0.0
+            ),
+        }
+        if raw.get("verts3d_cam") is not None:
+            verts3d = np.asarray(raw["verts3d_cam"], np.float32)
+            out[TransQueries.VERTS3D.value] = (
+                (verts3d - center3d) * 1000.0
+            ).astype(np.float32)
+
+        if raw.get("obj_verts_can") is not None:
+            can = np.asarray(raw["obj_verts_can"], np.float32)
+            pose = np.asarray(raw["obj_pose"], np.float32)
+            nv = min(len(can), cfg.max_obj_verts)
+            can_pad = np.zeros((cfg.max_obj_verts, 3), np.float32)
+            can_pad[:nv] = can[:nv]
+            obj_cam = can_pad @ pose[:3, :3].T + pose[:3, 3]
+            faces = np.asarray(raw.get("obj_faces"), np.int64)
+            # Padded faces are degenerate (0,0,0) -> culled by the rasterizer.
+            faces_pad = np.zeros((cfg.max_obj_faces, 3), np.int32)
+            nf = min(len(faces), cfg.max_obj_faces)
+            faces_pad[:nf] = faces[:nf]
+            out[TransQueries.OBJVERTSCAN.value] = can_pad
+            out["obj_faces"] = faces_pad
+            out["obj_nverts"] = np.int32(nv)
+            out[TransQueries.OBJVERTS3D.value] = (
+                (obj_cam - center3d) * 1000.0
+            ).astype(np.float32)
+            # Zero out padding rows so the (masked) loss ignores them.
+            mask = (np.arange(cfg.max_obj_verts) < nv).astype(np.float32)
+            out[TransQueries.OBJVERTS3D.value] *= mask[:, None]
+            out["obj_verts_mask"] = mask
+        return out
+
+    def __getitem__(self, i: int) -> dict:
+        rng = np.random.default_rng((self._seed, i))
+        if not self.cfg.pair_mode:
+            return self._process_frame(self.pose_dataset.get_sample(i), rng)
+        ref_i, tgt_i = self.pose_dataset.sample_pair(i, rng)
+        ref = self._process_frame(
+            self.pose_dataset.get_sample(ref_i), rng,
+            color_rng=np.random.default_rng((self._seed, i, 7)),
+        )
+        tgt = self._process_frame(
+            self.pose_dataset.get_sample(tgt_i), rng,
+            color_rng=np.random.default_rng((self._seed, i, 7)),
+        )
+        return {"ref": ref, "tgt": tgt}

@@ -1,0 +1,184 @@
+"""Synthetic pose dataset — renders the synthetic MANO hand (+ a box object).
+
+Role (SURVEY.md §4.3): a fully self-contained stand-in for FPHAB/HO-3D so
+unit/integration tests and benchmarks exercise the complete pipeline
+(annotations -> crop/augment -> training with supervised AND photometric
+losses -> eval) without licensed assets or dataset downloads. Videos are
+smooth pose interpolations, so temporal frame pairs carry real photometric
+signal for the consistency loss.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from hocon.geometry.mano import ManoModel, mano_forward, synthetic_mano_model
+
+_BOX_VERTS = (
+    np.array(
+        [
+            [-1, -1, -1], [1, -1, -1], [1, 1, -1], [-1, 1, -1],
+            [-1, -1, 1], [1, -1, 1], [1, 1, 1], [-1, 1, 1],
+        ],
+        np.float32,
+    )
+    * 0.5
+)
+_BOX_FACES = np.array(
+    [
+        [0, 2, 1], [0, 3, 2], [4, 5, 6], [4, 6, 7],
+        [0, 1, 5], [0, 5, 4], [2, 3, 7], [2, 7, 6],
+        [1, 2, 6], [1, 6, 5], [3, 0, 4], [3, 4, 7],
+    ],
+    np.int32,
+)
+
+
+class SyntheticHandDataset:
+    """Pose-dataset-protocol implementation over procedurally rendered clips."""
+
+    def __init__(
+        self,
+        n_videos: int = 4,
+        frames_per_video: int = 6,
+        image_size: int = 64,
+        seed: int = 0,
+        mano: ManoModel | None = None,
+        supervised_fraction: float = 1.0,
+        with_object: bool = True,
+        pair_spacing: int = 2,
+    ):
+        import jax.numpy as jnp
+
+        from hocon.geometry.project import persp_project
+        from hocon.render.raster import soft_rasterize
+
+        self.mano = mano if mano is not None else synthetic_mano_model(0)
+        self.image_size = image_size
+        self.pair_spacing = pair_spacing
+        self.frames_per_video = frames_per_video
+        n = n_videos * frames_per_video
+        rng = np.random.default_rng(seed)
+
+        # Smoothly interpolated MANO parameters per video.
+        pose0 = rng.standard_normal((n_videos, 15)).astype(np.float32) * 0.3
+        pose1 = pose0 + rng.standard_normal((n_videos, 15)).astype(np.float32) * 0.4
+        root0 = rng.standard_normal((n_videos, 3)).astype(np.float32) * 0.3
+        root1 = root0 + rng.standard_normal((n_videos, 3)).astype(np.float32) * 0.3
+        trans0 = np.concatenate(
+            [rng.uniform(-0.03, 0.03, (n_videos, 2)), rng.uniform(0.55, 0.7, (n_videos, 1))],
+            axis=1,
+        ).astype(np.float32)
+        trans1 = trans0 + rng.uniform(-0.04, 0.04, (n_videos, 3)).astype(np.float32)
+
+        t = np.linspace(0.0, 1.0, frames_per_video, dtype=np.float32)
+        lerp = lambda a, b: (
+            a[:, None] * (1 - t[None, :, None]) + b[:, None] * t[None, :, None]
+        ).reshape(n, -1)
+        pose = lerp(pose0, pose1)
+        root = lerp(root0, root1)
+        trans = lerp(trans0, trans1)
+        betas = np.zeros((n, 10), np.float32)
+
+        f = image_size * 1.6
+        self.camintr = np.array(
+            [[f, 0, image_size / 2], [0, f, image_size / 2], [0, 0, 1]], np.float32
+        )
+
+        verts, joints = mano_forward(
+            self.mano, jnp.asarray(pose), jnp.asarray(betas), jnp.asarray(root),
+            trans=jnp.asarray(trans), scale_mm=False,
+        )
+        self.verts = np.asarray(verts)
+        self.joints = np.asarray(joints)
+        self.pose, self.betas, self.root, self.trans = pose, betas, root, trans
+
+        # Object: a box clipped to the hand, following the wrist.
+        self.obj_scale = 0.06
+        self.obj_verts_can = _BOX_VERTS * self.obj_scale
+        self.obj_faces = _BOX_FACES
+        wrist = self.joints[:, 0]
+        self.obj_pose = np.tile(np.eye(4, dtype=np.float32), (n, 1, 1))
+        self.obj_pose[:, :3, 3] = wrist + np.array([0.0, 0.04, 0.02], np.float32)
+        self.with_object = with_object
+
+        # Render all frames once (hand + object, vertex-colored).
+        all_v = self.verts
+        all_f = np.asarray(self.mano.faces)
+        if with_object:
+            obj_v = (
+                self.obj_verts_can[None] @ self.obj_pose[:, :3, :3].transpose(0, 2, 1)
+                + self.obj_pose[:, None, :3, 3]
+            )
+            all_v = np.concatenate([all_v, obj_v], axis=1)
+            all_f = np.concatenate(
+                [all_f, _BOX_FACES + self.verts.shape[1]], axis=0
+            )
+        colors = self._vertex_colors(all_v.shape[1])
+        vp = persp_project(jnp.asarray(all_v), jnp.asarray(self.camintr)[None])
+        out = soft_rasterize(
+            vp,
+            jnp.asarray(all_v[..., 2]),
+            jnp.asarray(all_f),
+            attrs=jnp.asarray(np.tile(colors[None], (n, 1, 1))),
+            image_size=(image_size, image_size),
+            sigma=0.7,
+            backend="xla",
+        )
+        sil = np.asarray(out.sil)[..., None]
+        rgb = np.clip(np.asarray(out.attr), 0, 1) * sil + 0.15 * (1 - sil)
+        self.images = (rgb * 255).astype(np.uint8)
+
+        # Sparse supervision: mark ~fraction of frames per video, always
+        # including the first frame (the annotated "ref" anchor).
+        self.supervised = np.zeros(n, bool)
+        step = max(1, int(round(1.0 / max(supervised_fraction, 1e-6))))
+        for v in range(n_videos):
+            idx = np.arange(v * frames_per_video, (v + 1) * frames_per_video)
+            self.supervised[idx[::step]] = True
+
+    @staticmethod
+    def _vertex_colors(nv: int) -> np.ndarray:
+        """High-frequency procedural vertex colors (photometric texture)."""
+        i = np.arange(nv, dtype=np.float32)
+        return np.stack(
+            [
+                0.5 + 0.5 * np.sin(i * 0.7),
+                0.5 + 0.5 * np.sin(i * 1.3 + 1.0),
+                0.5 + 0.5 * np.sin(i * 2.9 + 2.0),
+            ],
+            axis=-1,
+        ).astype(np.float32)
+
+    def __len__(self):
+        return len(self.images)
+
+    def get_sample(self, i: int) -> dict:
+        return {
+            "image": self.images[i],
+            "joints3d_cam": self.joints[i],
+            "verts3d_cam": self.verts[i],
+            "camintr": self.camintr,
+            "obj_verts_can": self.obj_verts_can if self.with_object else None,
+            "obj_faces": self.obj_faces if self.with_object else None,
+            "obj_pose": self.obj_pose[i] if self.with_object else None,
+            "supervised": bool(self.supervised[i]),
+            "seq_id": i // self.frames_per_video,
+            "frame_idx": i % self.frames_per_video,
+            "side": "right",
+        }
+
+    def sample_pair(self, i: int, rng: np.random.Generator) -> tuple[int, int]:
+        """(annotated ref frame, temporally-offset tgt frame) in i's video."""
+        video = i // self.frames_per_video
+        base = video * self.frames_per_video
+        sup = np.nonzero(self.supervised[base : base + self.frames_per_video])[0]
+        local = i - base
+        ref_local = int(sup[np.argmin(np.abs(sup - local))])
+        offset = int(rng.integers(1, self.pair_spacing + 1)) * (
+            1 if rng.random() < 0.5 else -1
+        )
+        tgt_local = int(np.clip(ref_local + offset, 0, self.frames_per_video - 1))
+        if tgt_local == ref_local:
+            tgt_local = min(ref_local + 1, self.frames_per_video - 1)
+        return base + ref_local, base + tgt_local

@@ -77,9 +77,15 @@ def object_losses(
     terms = {}
     total = 0.0
     if "obj_verts_c_mm" in gt and "obj_verts_c_mm" in pred:
-        v = _masked_mean(
-            _mse(pred["obj_verts_c_mm"], gt["obj_verts_c_mm"], (1, 2)), sup_mask
-        )
+        err = (pred["obj_verts_c_mm"] - gt["obj_verts_c_mm"]) ** 2  # (B,Vo,3)
+        if "obj_verts_mask" in gt:  # padded vertices carry no signal
+            vm = gt["obj_verts_mask"][..., None]
+            per_sample = jnp.sum(err * vm, axis=(1, 2)) / (
+                jnp.sum(vm, axis=(1, 2)) * 3.0 + 1e-6
+            )
+        else:
+            per_sample = jnp.mean(err, axis=(1, 2))
+        v = _masked_mean(per_sample, sup_mask)
         terms["loss_obj_verts3d"] = v
         total = total + lambda_obj_verts3d * v
     if lambda_obj_verts2d > 0 and "obj_verts2d" in gt and "obj_verts2d" in pred:

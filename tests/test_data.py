@@ -1,0 +1,139 @@
+"""Data-layer tests: crop affine consistency, synthetic dataset, loader
+sharding determinism (SURVEY.md §4.3)."""
+
+import numpy as np
+import pytest
+
+from hocon.data.augment import AugmentConfig
+from hocon.data.cropping import (
+    build_crop_affine,
+    square_bbox_from_points,
+    transform_intrinsics,
+    transform_points2d,
+    warp_image,
+)
+from hocon.data.hand_dataset import HandDataset, HandDatasetConfig
+from hocon.data.pipeline import BatchLoader
+from hocon.data.queries import TransQueries
+from hocon.data.synthetic import SyntheticHandDataset
+
+
+def test_affine_label_image_consistency():
+    """Projecting 3D with the adjusted K must match affine-transformed 2D."""
+    rng = np.random.default_rng(0)
+    pts3d = rng.uniform(-0.1, 0.1, (21, 3)).astype(np.float32)
+    pts3d[:, 2] += 0.6
+    k = np.array([[300.0, 0, 128], [0, 300.0, 128], [0, 0, 1]], np.float32)
+    pts2d = (pts3d @ k.T)[:, :2] / (pts3d @ k.T)[:, 2:3]
+    center, side = square_bbox_from_points(pts2d, 1.3)
+    aff = build_crop_affine(center, side, 128, rot_deg=20.0, scale_jitter=1.1,
+                            center_jitter=np.array([3.0, -2.0]))
+    k_adj = transform_intrinsics(k, aff)
+    proj = (pts3d @ k_adj.T)[:, :2] / (pts3d @ k_adj.T)[:, 2:3]
+    direct = transform_points2d(pts2d, aff)
+    np.testing.assert_allclose(proj, direct, atol=1e-3)
+
+
+def test_warp_image_moves_pixel_content():
+    img = np.zeros((64, 64, 3), np.float32)
+    img[30:34, 20:24] = 1.0  # block at (x~22, y~32)
+    aff = build_crop_affine(np.array([22.0, 32.0]), 16, 32)
+    crop = warp_image(img, aff, 32)
+    # Block center should land at crop center.
+    assert crop[14:18, 14:18].mean() > 0.9
+    assert crop[:4, :4].mean() < 0.05
+
+
+@pytest.fixture(scope="module")
+def synth(mano_model):
+    return SyntheticHandDataset(
+        n_videos=2, frames_per_video=4, image_size=64, mano=mano_model,
+        supervised_fraction=0.5,
+    )
+
+
+def test_synthetic_dataset_samples(synth):
+    assert len(synth) == 8
+    s = synth.get_sample(0)
+    assert s["image"].shape == (64, 64, 3) and s["image"].dtype == np.uint8
+    assert s["joints3d_cam"].shape == (21, 3)
+    # Hand is actually visible (non-background pixels exist).
+    assert (np.abs(s["image"].astype(int) - 38) > 20).mean() > 0.03
+    # Supervision fraction respected: 2 of 4 frames per video.
+    assert synth.supervised.sum() == 4
+
+
+def test_hand_dataset_single_frame(synth):
+    ds = HandDataset(
+        synth,
+        HandDatasetConfig(
+            image_size=64, train=True, augment=AugmentConfig(enabled=True),
+            max_obj_verts=8, max_obj_faces=12,
+        ),
+    )
+    s = ds[1]
+    img = s[TransQueries.IMAGE.value]
+    assert img.shape == (64, 64, 3)
+    j3 = s[TransQueries.JOINTS3D.value]
+    assert j3.shape == (21, 3)
+    np.testing.assert_allclose(j3[9], 0.0, atol=1e-3)  # root-centered
+    # 2D labels consistent with adjusted intrinsics.
+    jc = s[TransQueries.JOINTS_CAM.value]
+    k = s[TransQueries.CAMINTR.value]
+    proj = (jc @ k.T)[:, :2] / (jc @ k.T)[:, 2:3]
+    np.testing.assert_allclose(proj, s[TransQueries.JOINTS2D.value], atol=1e-2)
+    # 2D joints inside the crop.
+    j2 = s[TransQueries.JOINTS2D.value]
+    assert (j2 > -16).all() and (j2 < 80).all()
+    assert s["obj_verts_mask"].sum() == 8
+
+
+def test_hand_dataset_determinism(synth):
+    ds = HandDataset(synth, HandDatasetConfig(image_size=64), seed=3)
+    a = ds[2]
+    b = ds[2]
+    np.testing.assert_array_equal(
+        a[TransQueries.IMAGE.value], b[TransQueries.IMAGE.value]
+    )
+
+
+def test_pair_mode_same_video_and_color_jitter(synth):
+    ds = HandDataset(
+        synth,
+        HandDatasetConfig(image_size=64, pair_mode=True, train=True),
+    )
+    s = ds[5]
+    assert "ref" in s and "tgt" in s
+    ref_sup = s["ref"][TransQueries.SUP_MASK.value]
+    assert ref_sup == 1.0  # ref frames are always annotated
+
+
+def test_batch_loader_shapes_and_sharding(synth):
+    ds = HandDataset(synth, HandDatasetConfig(image_size=64))
+    loader = BatchLoader(ds, batch_size=4, seed=0)
+    batch = next(iter(loader))
+    assert batch[TransQueries.IMAGE.value].shape == (4, 64, 64, 3)
+    assert batch[TransQueries.JOINTS3D.value].shape == (4, 21, 3)
+
+    # Two-host sharding partitions each global batch without overlap.
+    l0 = BatchLoader(ds, batch_size=4, seed=0, shard_index=0, shard_count=2)
+    l1 = BatchLoader(ds, batch_size=4, seed=0, shard_index=1, shard_count=2)
+    i0 = l0.epoch_indices(0)
+    i1 = l1.epoch_indices(0)
+    assert i0.shape == (2, 2) and i1.shape == (2, 2)
+    for b0, b1 in zip(i0, i1):
+        assert set(b0) & set(b1) == set()
+    full = BatchLoader(ds, batch_size=4, seed=0).epoch_indices(0)
+    np.testing.assert_array_equal(
+        np.sort(np.concatenate([i0, i1], axis=1).ravel()), np.sort(full.ravel())
+    )
+
+
+def test_grain_loader_if_available(synth):
+    pytest.importorskip("grain")
+    from hocon.data.pipeline import grain_loader
+
+    ds = HandDataset(synth, HandDatasetConfig(image_size=64))
+    loader = grain_loader(ds, batch_size=4, shuffle=False, num_epochs=1)
+    batch = next(iter(loader))
+    assert batch[TransQueries.IMAGE.value].shape == (4, 64, 64, 3)
