@@ -1,0 +1,178 @@
+"""FPHAB / HO-3D parser tests over generated fixture trees that replicate
+the official annotation formats (SURVEY.md §4.3: synthetic mini-dataset
+fixtures exercising parsing/crop/pair determinism)."""
+
+import os
+import pickle
+
+import numpy as np
+import pytest
+
+from hocon.data import fphab as F
+from hocon.data import ho3d as H
+
+
+def _write_fphab_tree(root, n_frames=6):
+    rng = np.random.default_rng(0)
+    subj, action, seq = "Subject_1", "open_milk", "1"
+    skel_dir = os.path.join(root, "Hand_pose_annotation_v1", subj, action, seq)
+    vid_dir = os.path.join(root, "Video_files", subj, action, seq, "color")
+    obj_dir = os.path.join(
+        root, "Object_6D_pose_annotation_v1_1", subj, action, seq
+    )
+    model_dir = os.path.join(root, "Object_models", "milk_model")
+    for d in (skel_dir, vid_dir, obj_dir, model_dir):
+        os.makedirs(d, exist_ok=True)
+
+    # World-frame skeletons (mm), in FPHAB joint order.
+    joints_world = rng.uniform(-100, 100, (n_frames, 21, 3)).astype(np.float32)
+    joints_world[..., 2] += 500
+    with open(os.path.join(skel_dir, "skeleton.txt"), "w") as f:
+        for i in range(n_frames):
+            f.write(f"{i} " + " ".join(f"{v:.4f}" for v in joints_world[i].ravel()) + "\n")
+
+    with open(os.path.join(obj_dir, "object_pose.txt"), "w") as f:
+        for i in range(n_frames):
+            pose = np.eye(4, dtype=np.float32)
+            pose[:3, 3] = [10.0 * i, 5.0, 400.0]
+            f.write(f"{i} " + " ".join(f"{v:.4f}" for v in pose.ravel()) + "\n")
+
+    # ASCII PLY box model (mm).
+    verts = (np.array(
+        [[-1, -1, -1], [1, -1, -1], [1, 1, -1], [-1, 1, -1],
+         [-1, -1, 1], [1, -1, 1], [1, 1, 1], [-1, 1, 1]], np.float32) * 30)
+    faces = np.array([[0, 1, 2], [0, 2, 3], [4, 5, 6], [4, 6, 7]], np.int32)
+    with open(os.path.join(model_dir, "milk_model.ply"), "w") as f:
+        f.write("ply\nformat ascii 1.0\n")
+        f.write(f"element vertex {len(verts)}\n")
+        f.write("property float x\nproperty float y\nproperty float z\n")
+        f.write(f"element face {len(faces)}\n")
+        f.write("property list uchar int vertex_indices\nend_header\n")
+        for v in verts:
+            f.write(f"{v[0]} {v[1]} {v[2]}\n")
+        for fc in faces:
+            f.write(f"3 {fc[0]} {fc[1]} {fc[2]}\n")
+
+    import cv2
+
+    img = rng.integers(0, 255, (1080, 1920, 3), np.uint8)
+    for i in range(n_frames):
+        cv2.imwrite(os.path.join(vid_dir, f"color_{i:04d}.jpeg"), img)
+    return joints_world
+
+
+def test_fphab_parse_and_camera_transform(tmp_path):
+    root = str(tmp_path)
+    joints_world = _write_fphab_tree(root)
+    ds = F.FPHAB(root, split="train", use_objects=True, fraction=1.0)
+    assert len(ds) == 6
+    s = ds.get_sample(0)
+    # Joint transform: world mm -> camera m with REORDER first.
+    want = (
+        joints_world[0][list(F.REORDER_IDX)] @ F.CAM_EXTR[:3, :3].T
+        + F.CAM_EXTR[:3, 3]
+    ) / 1000.0
+    np.testing.assert_allclose(s["joints3d_cam"], want, atol=1e-5)
+    assert s["obj_verts_can"].shape == (8, 3)
+    assert s["obj_faces"].shape == (4, 3)
+    # Object pose maps to camera frame with meter translation.
+    assert 0.1 < s["obj_pose"][2, 3] < 1.0
+    assert os.path.exists(s["image_path"])
+
+
+def test_fphab_fraction_and_pairs(tmp_path):
+    root = str(tmp_path)
+    _write_fphab_tree(root)
+    ds = F.FPHAB(root, split="train", use_objects=False, fraction=0.34)
+    # step = round(1/0.34) = 3 -> frames 0, 3 supervised out of 6.
+    assert ds.supervised.sum() == 2
+    assert ds.supervised[0] and ds.supervised[3]
+    rng = np.random.default_rng(0)
+    for i in range(6):
+        ref, tgt = ds.sample_pair(i, rng)
+        assert ds.supervised[ref]
+        assert ref != tgt
+        assert 0 <= tgt < 6
+
+
+def test_fphab_hand_dataset_integration(tmp_path):
+    from hocon.data.hand_dataset import HandDataset, HandDatasetConfig
+    from hocon.data.queries import TransQueries
+
+    root = str(tmp_path)
+    _write_fphab_tree(root)
+    ds = F.FPHAB(root, split="train", use_objects=True)
+    hd = HandDataset(
+        ds, HandDatasetConfig(image_size=64, max_obj_verts=8, max_obj_faces=4)
+    )
+    s = hd[0]
+    assert s[TransQueries.IMAGE.value].shape == (64, 64, 3)
+    np.testing.assert_allclose(s[TransQueries.JOINTS3D.value][9], 0, atol=1e-3)
+
+
+def _write_ho3d_tree(root, n_frames=4, split="train"):
+    rng = np.random.default_rng(1)
+    seq_dir = os.path.join(root, split if split == "train" else "evaluation", "ABF10")
+    os.makedirs(os.path.join(seq_dir, "meta"), exist_ok=True)
+    os.makedirs(os.path.join(seq_dir, "rgb"), exist_ok=True)
+    model_dir = os.path.join(root, "models_root", "models", "003_cracker_box")
+    os.makedirs(model_dir, exist_ok=True)
+    np.savetxt(
+        os.path.join(model_dir, "points.xyz"),
+        rng.uniform(-0.05, 0.05, (20, 3)).astype(np.float32),
+    )
+
+    import cv2
+
+    joints_all = []
+    for i in range(n_frames):
+        joints = rng.uniform(-0.1, 0.1, (21, 3)).astype(np.float32)
+        joints[:, 2] -= 0.5  # OpenGL: in front of camera is -z
+        meta = {
+            "handJoints3D": joints if split == "train" else joints[0],
+            "handPose": rng.standard_normal(48).astype(np.float32),
+            "handBeta": rng.standard_normal(10).astype(np.float32),
+            "handTrans": np.zeros(3, np.float32),
+            "objName": "003_cracker_box",
+            "objRot": np.zeros(3, np.float32),
+            "objTrans": np.array([0.0, 0.0, -0.6], np.float32),
+            "camMat": np.array(
+                [[614.0, 0, 320.0], [0, 614.0, 240.0], [0, 0, 1]], np.float32
+            ),
+        }
+        with open(os.path.join(seq_dir, "meta", f"{i:04d}.pkl"), "wb") as f:
+            pickle.dump(meta, f)
+        cv2.imwrite(
+            os.path.join(seq_dir, "rgb", f"{i:04d}.png"),
+            rng.integers(0, 255, (480, 640, 3), np.uint8),
+        )
+        joints_all.append(joints)
+    return np.stack(joints_all)
+
+
+def test_ho3d_parse_train(tmp_path):
+    root = str(tmp_path)
+    joints = _write_ho3d_tree(root, split="train")
+    ds = H.HO3D(root, split="train", use_objects=True)
+    assert len(ds) == 4
+    s = ds.get_sample(1)
+    want = joints[1][list(H.MANO_TO_STANDARD)] @ H.COORD_FLIP.T
+    np.testing.assert_allclose(s["joints3d_cam"], want, atol=1e-6)
+    assert float(s["joints3d_cam"][:, 2].mean()) > 0  # CV convention: +z forward
+    assert s["obj_verts_can"].shape == (20, 3)
+    assert s["obj_pose"][2, 3] > 0
+    assert s["mano_pose"].shape == (48,)
+
+
+def test_ho3d_eval_split_root_only(tmp_path):
+    root = str(tmp_path)
+    _write_ho3d_tree(root, split="evaluation")
+    ds = H.HO3D(root, split="test")
+    s = ds.get_sample(0)
+    assert s["joints3d_cam"].shape == (21, 3)
+    # All joints equal the root in the eval split.
+    np.testing.assert_allclose(
+        s["joints3d_cam"],
+        np.broadcast_to(s["joints3d_cam"][0:1], (21, 3)),
+        atol=1e-6,
+    )
