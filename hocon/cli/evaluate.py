@@ -1,0 +1,92 @@
+"""Evaluation CLI.
+
+Reference parity: ``evalmeshreg.py`` — load a checkpoint, run the val/test
+split, print MPJPE / AUC / object vertex error, and (HO-3D) dump the
+CodaLab pred.json zip.
+
+Example:
+  python -m hocon.cli.evaluate --dataset synthetic --image_size 64 \
+      --resume checkpoints/run/ckpt
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import jax
+import numpy as np
+
+from hocon.cli import opts
+from hocon.cli.train import build_model
+from hocon.data.factory import get_dataset
+from hocon.data.pipeline import BatchLoader
+from hocon.evaluation.codalab import dump_ho3d_codalab
+from hocon.train.checkpoints import CheckpointManager
+from hocon.train.loop import epoch_pass
+from hocon.train.sharding import make_mesh, replicate, shard_batch
+from hocon.train.state import create_train_state, make_optimizer
+from hocon.train.steps import make_eval_step
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser("hocon.evaluate")
+    opts.add_exp_opts(parser)
+    opts.add_net_opts(parser)
+    opts.add_data_opts(parser)
+    parser.add_argument("--dump_codalab", default="",
+                        help="dir to write HO-3D pred.zip into")
+    args = parser.parse_args(argv)
+
+    mano = opts.load_mano_or_synthetic(args.mano_assets)
+    mesh = make_mesh()
+    ds = get_dataset(
+        args.dataset, args.val_split, args.data_root, args.image_size,
+        use_objects=args.use_objects, train=False, mano=mano, seed=args.seed,
+        synth_videos=args.synth_videos, synth_frames=args.synth_frames,
+    )
+    loader = BatchLoader(
+        ds, args.batch_size, shuffle=False, drop_last=False,
+        shard_index=jax.process_index(), shard_count=jax.process_count(),
+    )
+
+    model = build_model(args, mano)
+    optimizer = make_optimizer(args.optimizer, args.lr)
+    sample = next(iter(loader))
+    state = create_train_state(
+        model, mano, optimizer, sample, jax.random.PRNGKey(0),
+        with_object=args.use_objects,
+    )
+    state = replicate(state, mesh)
+    if args.resume:
+        state = CheckpointManager(args.resume).restore(state)
+        print(f"loaded checkpoint from {args.resume}")
+
+    eval_step = make_eval_step(model, mano)
+
+    if args.dump_codalab:
+        all_joints, all_verts = [], []
+        for batch in loader.epoch(0):
+            preds = jax.device_get(eval_step(state, shard_batch(batch, mesh)))
+            all_joints.append(preds["joints_cam"])
+            all_verts.append(preds["verts_cam"])
+        zip_path = dump_ho3d_codalab(
+            np.concatenate(all_joints), np.concatenate(all_verts),
+            args.dump_codalab,
+        )
+        print(f"CodaLab submission written to {zip_path}")
+        return
+
+    _, metrics = epoch_pass(
+        loader, state, eval_step, train=False, epoch=0, mesh=mesh,
+        max_steps=args.max_steps_per_epoch or None,
+    )
+    print(f"MPJPE: {metrics['mpjpe_mm']:.2f} mm (median "
+          f"{metrics['mpjpe_median_mm']:.2f}), AUC(0-50mm): {metrics['auc']:.4f}")
+    if "obj_verts_err_mm" in metrics:
+        print(f"object vertex error: {metrics['obj_verts_err_mm']:.2f} mm")
+    return metrics
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,160 @@
+"""Baseline supervised training CLI.
+
+Reference parity: ``trainmeshreg.py`` — argparse flags, dataset/model/
+optimizer construction, epoch loop with periodic eval + snapshots.
+
+Example (synthetic smoke run):
+  python -m hocon.cli.train --dataset synthetic --image_size 64 \
+      --batch_size 8 --epochs 2 --use_objects
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import jax
+import numpy as np
+
+from hocon.cli import opts
+from hocon.data.factory import get_dataset
+from hocon.data.pipeline import BatchLoader
+from hocon.exp.args import save_args
+from hocon.models.hocnet import HOCNet
+from hocon.train.checkpoints import CheckpointManager, restore_for_warm_start
+from hocon.train.loop import epoch_pass
+from hocon.train.metrics import MetricWriter
+from hocon.train.sharding import make_mesh, replicate
+from hocon.train.state import create_train_state, make_optimizer
+from hocon.train.steps import make_eval_step, make_train_step
+
+
+def build_model(args, mano):
+    import jax.numpy as jnp
+
+    return HOCNet(
+        ncomps=args.ncomps,
+        center_idx=args.center_idx,
+        with_object=args.use_objects,
+        block_rot=args.block_rot,
+        obj_rot_param=args.obj_rot_param,
+        backbone=args.backbone,
+        freeze_batchnorm=args.freeze_batchnorm,
+        dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
+    )
+
+
+def hand_lambdas(args):
+    return dict(
+        lambda_verts3d=args.mano_lambda_verts3d,
+        lambda_joints3d=args.mano_lambda_joints3d,
+        lambda_joints2d=args.mano_lambda_joints2d,
+        lambda_shape=args.mano_lambda_shape,
+        lambda_pose=args.mano_lambda_pose_reg,
+    )
+
+
+def obj_lambdas(args):
+    return dict(
+        lambda_obj_verts3d=args.obj_lambda_verts3d,
+        lambda_obj_verts2d=args.obj_lambda_verts2d,
+    )
+
+
+def setup_common(args):
+    mano = opts.load_mano_or_synthetic(args.mano_assets)
+    run_dir = os.path.join("checkpoints", args.exp_id)
+    save_args(args, run_dir)
+    writer = MetricWriter(run_dir)
+    mesh = make_mesh()
+
+    train_ds = get_dataset(
+        args.dataset, args.split, args.data_root, args.image_size,
+        fraction=args.fraction, use_objects=args.use_objects,
+        pair_mode=getattr(args, "pair_mode", False),
+        pair_spacing=args.spacing, train=True, mano=mano, seed=args.seed,
+        synth_videos=args.synth_videos, synth_frames=args.synth_frames,
+    )
+    val_ds = get_dataset(
+        args.dataset, args.val_split, args.data_root, args.image_size,
+        use_objects=args.use_objects, train=False, mano=mano, seed=args.seed,
+        synth_videos=max(2, args.synth_videos // 4), synth_frames=args.synth_frames,
+    )
+    train_loader = BatchLoader(
+        train_ds, args.batch_size, seed=args.seed,
+        shard_index=jax.process_index(), shard_count=jax.process_count(),
+    )
+    val_loader = BatchLoader(
+        val_ds, args.batch_size, shuffle=False,
+        shard_index=jax.process_index(), shard_count=jax.process_count(),
+    )
+    return mano, run_dir, writer, mesh, train_loader, val_loader
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser("hocon.train")
+    opts.add_exp_opts(parser)
+    opts.add_net_opts(parser)
+    opts.add_data_opts(parser)
+    args = parser.parse_args(argv)
+
+    mano, run_dir, writer, mesh, train_loader, val_loader = setup_common(args)
+    model = build_model(args, mano)
+    optimizer = make_optimizer(
+        args.optimizer, args.lr, args.momentum, args.weight_decay,
+        args.lr_decay_step, args.lr_decay_gamma, args.grad_clip,
+    )
+
+    sample = next(iter(train_loader))
+    state = create_train_state(
+        model, mano, optimizer, sample, jax.random.PRNGKey(args.seed),
+        with_object=args.use_objects,
+    )
+    state = replicate(state, mesh)
+
+    ckpt = CheckpointManager(os.path.join(run_dir, "ckpt"))
+    if args.resume:
+        state = CheckpointManager(args.resume).restore(state)
+        print(f"resumed from {args.resume} at step {int(state.step)}")
+    elif ckpt.latest_step is not None:
+        state = ckpt.restore(state)
+        print(f"auto-restored latest snapshot (step {int(state.step)})")
+    elif args.warm_start:
+        state = restore_for_warm_start(args.warm_start, state)
+        print(f"warm-started params from {args.warm_start}")
+
+    train_step = make_train_step(
+        model, mano, optimizer, hand_lambdas(args), obj_lambdas(args)
+    )
+    eval_step = make_eval_step(model, mano)
+    max_steps = args.max_steps_per_epoch or None
+
+    for epoch in range(args.epochs):
+        if args.profile and epoch == 0:
+            jax.profiler.start_trace(os.path.join(run_dir, "trace"))
+        state, train_metrics = epoch_pass(
+            train_loader, state, train_step, train=True, epoch=epoch,
+            mesh=mesh, writer=writer, max_steps=max_steps,
+        )
+        if args.profile and epoch == 0:
+            jax.profiler.stop_trace()
+        print(f"[epoch {epoch}] train "
+              f"loss={train_metrics.get('loss_total', float('nan')):.4f} "
+              f"({train_metrics['steps_per_sec']:.2f} steps/s)")
+        if (epoch + 1) % args.eval_freq == 0:
+            _, val_metrics = epoch_pass(
+                val_loader, state, eval_step, train=False, epoch=epoch,
+                writer=writer, mesh=mesh, max_steps=max_steps,
+            )
+            print(f"[epoch {epoch}] val MPJPE={val_metrics['mpjpe_mm']:.2f}mm "
+                  f"AUC={val_metrics['auc']:.3f}")
+        if (epoch + 1) % args.snapshot_freq == 0:
+            ckpt.save(int(jax.device_get(state.step)), state)
+    ckpt.wait()
+    writer.plot_curves()
+    writer.close()
+    return state
+
+
+if __name__ == "__main__":
+    main()

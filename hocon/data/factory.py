@@ -1,0 +1,68 @@
+"""Dataset factory.
+
+Reference parity: ``meshreg/netscripts/get_dataset.py`` — maps
+``--dataset {fhbhands, ho3dv2, synthetic}`` + split + options to a wrapped
+HandDataset.
+"""
+
+from __future__ import annotations
+
+from hocon.data.augment import AugmentConfig
+from hocon.data.hand_dataset import HandDataset, HandDatasetConfig
+
+
+def get_dataset(
+    name: str,
+    split: str,
+    root: str = "",
+    image_size: int = 256,
+    fraction: float = 1.0,
+    use_objects: bool = False,
+    pair_mode: bool = False,
+    pair_spacing: int = 8,
+    train: bool = True,
+    mano=None,
+    augment: AugmentConfig | None = None,
+    max_obj_verts: int = 600,
+    max_obj_faces: int = 1000,
+    seed: int = 0,
+    synth_videos: int = 8,
+    synth_frames: int = 8,
+) -> HandDataset:
+    if name in ("fhbhands", "fphab"):
+        from hocon.data.fphab import FPHAB
+
+        pose_ds = FPHAB(
+            root, split=split, fraction=fraction, use_objects=use_objects,
+            pair_spacing=pair_spacing,
+        )
+    elif name in ("ho3dv2", "ho3d"):
+        from hocon.data.ho3d import HO3D
+
+        pose_ds = HO3D(
+            root, split=split, fraction=fraction, use_objects=use_objects,
+            pair_spacing=pair_spacing,
+        )
+    elif name == "synthetic":
+        from hocon.data.synthetic import SyntheticHandDataset
+
+        pose_ds = SyntheticHandDataset(
+            n_videos=synth_videos, frames_per_video=synth_frames,
+            image_size=image_size, mano=mano,
+            supervised_fraction=fraction if split == "train" else 1.0,
+            with_object=use_objects, pair_spacing=pair_spacing, seed=seed,
+        )
+        if use_objects:
+            max_obj_verts, max_obj_faces = 8, 12
+    else:
+        raise ValueError(f"unknown dataset {name!r}")
+
+    cfg = HandDatasetConfig(
+        image_size=image_size,
+        augment=augment or AugmentConfig(enabled=train),
+        pair_mode=pair_mode,
+        train=train,
+        max_obj_verts=max_obj_verts,
+        max_obj_faces=max_obj_faces,
+    )
+    return HandDataset(pose_ds, cfg, seed=seed)

@@ -84,6 +84,13 @@ def normalize_depth(
     return (verts_z - zmin) / span * (1.0 - 2.0 * margin) + margin
 
 
+def gather_faces(arr: jnp.ndarray, faces: jnp.ndarray) -> jnp.ndarray:
+    """Per-face gather supporting shared (F,3) or per-batch (B,F,3) faces."""
+    if faces.ndim == 2:
+        return arr[:, faces]
+    return jax.vmap(lambda a, f: a[f])(arr, faces)
+
+
 def face_planes(
     verts_pix: jnp.ndarray,
     verts_zbar: jnp.ndarray,
@@ -95,11 +102,13 @@ def face_planes(
     Args:
       verts_pix: (B, V, 2) screen-space vertex positions in pixels.
       verts_zbar: (B, V) normalized depth in [0, 1] (see normalize_depth).
-      faces: (F, 3) int vertex indices (shared across batch).
+      faces: (F, 3) int vertex indices, or (B, F, 3) per-sample meshes
+        (e.g. hand + per-sample object; padded faces may be degenerate —
+        they are culled via the validity mask).
       attrs: optional (B, V, C) per-vertex attributes to interpolate.
     """
-    fv = verts_pix[:, faces]  # (B, F, 3, 2)
-    fz = verts_zbar[:, faces]  # (B, F, 3)
+    fv = gather_faces(verts_pix, faces)  # (B, F, 3, 2)
+    fz = gather_faces(verts_zbar, faces)  # (B, F, 3)
     ones = jnp.ones_like(fz)
     # mat columns are the homogeneous vertices: [x;y;1] per vertex.
     mat = jnp.stack([fv[..., 0], fv[..., 1], ones], axis=-2)  # (B, F, 3, 3)
@@ -150,7 +159,7 @@ def face_planes(
     z_row = jnp.einsum("bfk,bfkc->bfc", fz, minv)[..., None, :]  # (B,F,1,3)
     rows = [edge_rows, u_rows, l_rows, z_row]
     if attrs is not None:
-        fattr = attrs[:, faces]  # (B, F, 3, C)
+        fattr = gather_faces(attrs, faces)  # (B, F, 3, C)
         attr_rows = jnp.einsum("bfkc,bfkm->bfcm", fattr, minv)  # (B,F,C,3)
         rows.append(attr_rows)
     return FacePlanes(rows=jnp.concatenate(rows, axis=-2), valid=valid)
@@ -324,7 +333,7 @@ def soft_rasterize(
     if backend == "pallas":
         from hocon.render.raster_pallas import rasterize_planes_pallas
 
-        fv = jax.lax.stop_gradient(verts_pix[:, faces])  # (B, F, 3, 2)
+        fv = jax.lax.stop_gradient(gather_faces(verts_pix, faces))  # (B,F,3,2)
         face_bbox = jnp.stack(
             [
                 jnp.min(fv[..., 1], axis=-1),

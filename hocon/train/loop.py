@@ -1,0 +1,83 @@
+"""Epoch loop.
+
+Reference parity: ``meshreg/netscripts/epochpass.py`` ``epoch_pass`` —
+iterate the loader, run the (jitted) step, accumulate AverageMeters for
+every loss term, feed EvalUtil when evaluating, periodic sample
+visualization. The hot path is a single jitted step per batch; the host
+only stacks numpy arrays and places them with the batch sharding.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+import numpy as np
+
+from hocon.evaluation.zimeval import EvalUtil, VertexErrorMeter
+from hocon.train.metrics import AverageMeters, StepTimer
+from hocon.train.sharding import shard_batch
+
+
+def epoch_pass(
+    loader,
+    state,
+    step_fn: Callable,
+    train: bool,
+    epoch: int = 0,
+    mesh=None,
+    writer=None,
+    max_steps: Optional[int] = None,
+    vis_fn: Optional[Callable] = None,
+    vis_freq: int = 0,
+) -> tuple:
+    """Run one epoch. Returns (state, metrics dict).
+
+    In train mode ``step_fn(state, batch) -> (state, terms)``.
+    In eval mode ``step_fn(state, batch) -> preds`` and MPJPE / AUC /
+    object vertex error are accumulated host-side (EvalUtil).
+    """
+    meters = AverageMeters()
+    timer = StepTimer()
+    evaluator = EvalUtil() if not train else None
+    obj_meter = VertexErrorMeter() if not train else None
+
+    for i, batch in enumerate(loader.epoch(epoch)):
+        if max_steps is not None and i >= max_steps:
+            break
+        if mesh is not None:
+            batch = shard_batch(batch, mesh)
+        if train:
+            state, terms = step_fn(state, batch)
+            meters.update(terms)
+            if writer is not None:
+                writer.log_step(int(jax.device_get(state.step)), terms)
+        else:
+            preds = step_fn(state, batch)
+            preds = jax.device_get(preds)
+            gt_j = np.asarray(batch["joints3d"])
+            evaluator.feed(gt_j, preds["joints_c_mm"])
+            if "obj_verts_c_mm" in preds and "objverts3d" in batch:
+                obj_meter.feed(
+                    np.asarray(batch["objverts3d"]),
+                    preds["obj_verts_c_mm"],
+                    np.asarray(batch.get("obj_verts_mask"))
+                    if "obj_verts_mask" in batch
+                    else None,
+                )
+            if vis_fn is not None and vis_freq and i % vis_freq == 0:
+                vis_fn(epoch, i, jax.device_get(batch), preds)
+        timer.tick()
+
+    metrics = meters.averages()
+    metrics["steps_per_sec"] = timer.rate()
+    if not train:
+        epe_mean, epe_med, auc, pck, thresh = evaluator.get_measures(0.0, 50.0, 20)
+        metrics.update(
+            mpjpe_mm=epe_mean, mpjpe_median_mm=epe_med, auc=auc,
+        )
+        if obj_meter is not None and obj_meter._count:
+            metrics["obj_verts_err_mm"] = obj_meter.mean
+    if writer is not None:
+        writer.log_epoch(epoch, "train" if train else "val", metrics)
+    return state, metrics
