@@ -1,0 +1,106 @@
+"""Throughput benchmark — the driver runs this on real TPU hardware.
+
+Metric (BASELINE.json): frame-pairs/sec/chip on the FPHAB-shaped
+photometric-consistency train step: batch of 16 frame pairs, 256x256
+crops, ResNet-18 trunk (bf16), MANO layer, Pallas soft rasterizer at
+256x256 with hand+object mesh, masked SSIM+L1 warp loss, full backward +
+Adam update.
+
+``vs_baseline``: the reference never published training throughput
+(BASELINE.md); we use a provisional estimate of 25 frame-pairs/sec for the
+PyTorch reference on its single contemporary GPU (ResNet-18 + NMR CUDA
+renderer at this batch size) until a measured number exists. The ratio is
+therefore indicative, not a verified speedup claim.
+
+Prints exactly ONE JSON line on stdout.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+PROVISIONAL_BASELINE_PAIRS_PER_SEC = 25.0
+
+BATCH_PAIRS = 16
+RES = 256
+TIMED_STEPS = 20
+WARMUP_STEPS = 3
+
+
+def log(msg: str):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from hocon.data.factory import get_dataset
+    from hocon.data.pipeline import BatchLoader
+    from hocon.geometry.mano import synthetic_mano_model
+    from hocon.models.hocnet import HOCNet
+    from hocon.train.sharding import make_mesh, replicate, shard_batch
+    from hocon.train.state import create_train_state, make_optimizer
+    from hocon.train.steps import make_warp_train_step
+
+    n_chips = jax.device_count()
+    log(f"devices: {jax.devices()} (n={n_chips})")
+
+    mano = synthetic_mano_model(0)
+    t0 = time.perf_counter()
+    ds = get_dataset(
+        "synthetic", "train", image_size=RES, use_objects=True, train=True,
+        mano=mano, pair_mode=True, fraction=0.25, synth_videos=2,
+        synth_frames=max(4, (2 * BATCH_PAIRS) // 2), seed=0,
+    )
+    loader = BatchLoader(ds, batch_size=BATCH_PAIRS, seed=0, drop_last=False)
+    batch = next(iter(loader))
+    log(f"data setup: {time.perf_counter() - t0:.1f}s")
+
+    mesh = make_mesh()
+    model = HOCNet(with_object=True, freeze_batchnorm=True, dtype=jnp.bfloat16)
+    optimizer = make_optimizer("adam", 1e-4)
+    state = create_train_state(
+        model, mano, optimizer, batch["ref"], jax.random.PRNGKey(0)
+    )
+    state = replicate(state, mesh)
+    batch = shard_batch(batch, mesh)
+
+    step = make_warp_train_step(
+        model, mano, optimizer, image_size=(RES, RES), backend="auto",
+    )
+
+    t0 = time.perf_counter()
+    for _ in range(WARMUP_STEPS):
+        state, terms = step(state, batch)
+    jax.block_until_ready(state.params)
+    log(f"compile+warmup ({WARMUP_STEPS} steps): {time.perf_counter() - t0:.1f}s; "
+        f"loss={float(terms['loss_total']):.4f}")
+
+    t0 = time.perf_counter()
+    for _ in range(TIMED_STEPS):
+        state, terms = step(state, batch)
+    jax.block_until_ready(state.params)
+    dt = time.perf_counter() - t0
+
+    pairs_per_sec_per_chip = BATCH_PAIRS * TIMED_STEPS / dt / n_chips
+    log(f"{TIMED_STEPS} steps in {dt:.3f}s -> "
+        f"{pairs_per_sec_per_chip:.2f} pairs/s/chip")
+
+    print(json.dumps({
+        "metric": "frame-pairs/sec/chip, photometric-consistency train step "
+                  "(256px, ResNet-18 bf16, Pallas soft raster, batch 16)",
+        "value": round(pairs_per_sec_per_chip, 3),
+        "unit": "pairs/s/chip",
+        "vs_baseline": round(
+            pairs_per_sec_per_chip / PROVISIONAL_BASELINE_PAIRS_PER_SEC, 3
+        ),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -32,10 +32,13 @@ class BasicBlock(nn.Module):
     @nn.compact
     def __call__(self, x):
         residual = x
-        y = self.conv(self.filters, (3, 3), (self.strides, self.strides))(x)
+        # Explicit (1,1) padding: torch semantics — flax 'SAME' pads (0,1)
+        # for stride-2 3x3 convs, which breaks torchvision weight parity.
+        y = self.conv(self.filters, (3, 3), (self.strides, self.strides),
+                      padding=[(1, 1), (1, 1)])(x)
         y = self.norm()(y)
         y = nn.relu(y)
-        y = self.conv(self.filters, (3, 3))(y)
+        y = self.conv(self.filters, (3, 3), padding=[(1, 1), (1, 1)])(y)
         y = self.norm(scale_init=nn.initializers.zeros)(y)
         if residual.shape != y.shape:
             residual = self.conv(
@@ -58,7 +61,8 @@ class Bottleneck(nn.Module):
         y = self.conv(self.filters, (1, 1))(x)
         y = self.norm()(y)
         y = nn.relu(y)
-        y = self.conv(self.filters, (3, 3), (self.strides, self.strides))(y)
+        y = self.conv(self.filters, (3, 3), (self.strides, self.strides),
+                      padding=[(1, 1), (1, 1)])(y)
         y = self.norm()(y)
         y = nn.relu(y)
         y = self.conv(self.filters * 4, (1, 1))(y)
