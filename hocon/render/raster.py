@@ -248,6 +248,9 @@ def rasterize_planes_xla(
     def pixel_block(pix):  # pix: (3, P)
         p_sz = pix.shape[-1]
 
+        @jax.checkpoint  # rematerialize in backward: the per-chunk (B,FC,P)
+        # intermediates would otherwise be saved for EVERY scan step, which
+        # is the full O(faces x pixels) tensor (tens of GB at 256^2).
         def scan_fn(carry, chunk):
             # Streaming max-renormalized softmax over faces (+ background):
             # carry m is the running max logit; accumulators are relative to
