@@ -71,6 +71,8 @@ def pack_sorted_planes(
     ycenter = jnp.where(
         valid > 0, 0.5 * (face_bbox[..., 0] + face_bbox[..., 1]), jnp.inf
     )
+    # Infinite bboxes (culling disabled) make the key NaN; sort them last.
+    ycenter = jnp.where(jnp.isnan(ycenter), jnp.inf, ycenter)
     order = jnp.argsort(ycenter, axis=1)  # (B, F)
     rows = jnp.take_along_axis(rows, order[:, :, None, None], axis=1)
     valid = jnp.take_along_axis(valid, order, axis=1)
@@ -109,6 +111,7 @@ def _raster_kernel(
     sil_ref,  # VMEM (1, RB, W)
     attr_ref,  # VMEM (1, C+1, RB, W)   (user attrs + zbar channel)
     vis_ref,  # VMEM (1, RB, W)
+    mden_ref,  # VMEM (1, 2, RB, W)     (softmax max logit m, rel. denom)
     acc_ref,  # VMEM scratch (C+4, RB, W): [log_neg, m, den, attr..., z]
     *,
     n_chunks: int,
@@ -127,9 +130,9 @@ def _raster_kernel(
     # Streaming max-renormalized softmax state, initialized with the
     # background "face" (weight 1 at logit l_bg, zbar_bg = 1, attrs_bg = 0).
     acc_ref[...] = jnp.zeros_like(acc_ref)
-    acc_ref[1:2] = jnp.full((1, rb, width), l_bg)
-    acc_ref[2:3] = jnp.ones((1, rb, width))
-    acc_ref[n_attr + 2 : n_attr + 3] = jnp.ones((1, rb, width))
+    acc_ref[1:2] = jnp.full((1, rb, width), l_bg, jnp.float32)
+    acc_ref[2:3] = jnp.ones((1, rb, width), jnp.float32)
+    acc_ref[n_attr + 2 : n_attr + 3] = jnp.ones((1, rb, width), jnp.float32)
 
     # iota must be integer-typed on TPU; convert after.
     x = (
@@ -199,16 +202,13 @@ def _raster_kernel(
     sil_ref[0] = 1.0 - jnp.exp(log_neg)
     vis_ref[0] = 1.0 - jnp.exp(l_bg - m) * inv_den
     attr_ref[0] = acc_ref[3 : n_attr + 3] * inv_den[None]
+    # Softmax state saved for the backward kernel.
+    mden_ref[0, 0] = m
+    mden_ref[0, 1] = den
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
-def _rasterize_sorted(coeffs, ybounds, image_size, sigma, gamma, n_attr):
-    return _rasterize_sorted_fwd_impl(
-        coeffs, ybounds, image_size, sigma, gamma, n_attr
-    )
-
-
-def _rasterize_sorted_fwd_impl(coeffs, ybounds, image_size, sigma, gamma, n_attr):
+def _forward_padded(coeffs, ybounds, image_size, sigma, gamma, n_attr):
+    """Run the forward kernel; returns PADDED (sil, attr, vis, mden)."""
     b, fp, r3 = coeffs.shape
     h, w = image_size
     wp = _round_up(w, 128)
@@ -225,7 +225,7 @@ def _rasterize_sorted_fwd_impl(coeffs, ybounds, image_size, sigma, gamma, n_attr
         sigma=sigma,
         gamma=gamma,
     )
-    sil, attr, vis = pl.pallas_call(
+    return pl.pallas_call(
         kernel,
         grid=(b, hp // ROW_BLOCK),
         in_specs=[
@@ -242,23 +242,243 @@ def _rasterize_sorted_fwd_impl(coeffs, ybounds, image_size, sigma, gamma, n_attr
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, ROW_BLOCK, wp), lambda bi, yi: (bi, yi, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2, ROW_BLOCK, wp), lambda bi, yi: (bi, 0, yi, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((b, hp, wp), jnp.float32),
             jax.ShapeDtypeStruct((b, n_attr, hp, wp), jnp.float32),
             jax.ShapeDtypeStruct((b, hp, wp), jnp.float32),
+            jax.ShapeDtypeStruct((b, 2, hp, wp), jnp.float32),
         ],
         scratch_shapes=[
             pltpu.VMEM((n_attr + 3, ROW_BLOCK, wp), jnp.float32)
         ],
         interpret=interpret,
     )(ybounds, coeffs)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
+def _rasterize_sorted(coeffs, ybounds, image_size, sigma, gamma, n_attr):
+    h, w = image_size
+    sil, attr, vis, _ = _forward_padded(
+        coeffs, ybounds, image_size, sigma, gamma, n_attr
+    )
     return sil[:, :h, :w], attr[:, :, :h, :w], vis[:, :h, :w]
 
 
 def _rasterize_sorted_fwd(coeffs, ybounds, image_size, sigma, gamma, n_attr):
-    out = _rasterize_sorted_fwd_impl(coeffs, ybounds, image_size, sigma, gamma, n_attr)
-    return out, coeffs
+    h, w = image_size
+    sil, attr, vis, mden = _forward_padded(
+        coeffs, ybounds, image_size, sigma, gamma, n_attr
+    )
+    out = (sil[:, :h, :w], attr[:, :, :h, :w], vis[:, :h, :w])
+    return out, (coeffs, ybounds, sil, attr, vis, mden)
+
+
+def _raster_bwd_kernel(
+    ybounds_ref,  # SMEM (1, NC, 2)
+    coeffs_ref,  # VMEM (1, FC, 3R)       block @ (b, k)
+    sil_ref,  # VMEM (1, Hp, Wp)          @ b
+    attr_ref,  # VMEM (1, C+1, Hp, Wp)    @ b
+    vis_ref,  # VMEM (1, Hp, Wp)
+    mden_ref,  # VMEM (1, 2, Hp, Wp)
+    gsil_ref,  # VMEM (1, Hp, Wp)
+    gattr_ref,  # VMEM (1, C+1, Hp, Wp)
+    gvis_ref,  # VMEM (1, Hp, Wp)
+    dcoeffs_ref,  # out VMEM (1, FC, 3R)  block @ (b, k)
+    acc_ref,  # scratch VMEM (FC, 3R)
+    *,
+    n_row_blocks: int,
+    n_attr: int,
+    width: int,
+    sigma: float,
+    gamma: float,
+):
+    """Gradient of the soft raster w.r.t. the face-plane coefficients.
+
+    Mirror of the forward: grid over (batch, FACE CHUNK); loop over pixel
+    row-blocks inside the chunk's y-interval (same culling); recompute the
+    per-(face, pixel) forward quantities and chain the output gradients
+    back to each affine row, reducing over pixels into (FC, 3) per row.
+    Deterministic: one program owns each (b, chunk) output block.
+    """
+    k = pl.program_id(1)
+    rb = ROW_BLOCK
+    inv_sigma_sq = 1.0 / (sigma * sigma)
+    inv_gamma = 1.0 / gamma
+
+    acc_ref[...] = jnp.zeros_like(acc_ref)
+    a = coeffs_ref[0]  # (FC, 3R)
+    ymin = ybounds_ref[0, k, 0]
+    ymax = ybounds_ref[0, k, 1]
+
+    x = (
+        jax.lax.broadcasted_iota(jnp.int32, (1, 1, width), 2).astype(jnp.float32)
+        + 0.5
+    )
+    y_iota = (
+        jax.lax.broadcasted_iota(jnp.int32, (1, rb, 1), 1).astype(jnp.float32)
+        + 0.5
+    )
+
+    def coeff(r, j):
+        return a[:, 3 * r + j : 3 * r + j + 1][:, :, None]  # (FC, 1, 1)
+
+    def block_body(bi, _):
+        y0 = (bi * rb).astype(jnp.float32)
+
+        @pl.when(jnp.logical_and(y0 + rb > ymin, y0 < ymax))
+        def _():
+            y = y_iota + y0
+            rows = pl.ds(bi * rb, rb)
+
+            def row_eval(r):
+                return coeff(r, 0) * x + (coeff(r, 1) * y + coeff(r, 2))
+
+            def red(v):  # (FC, RB, W) -> (FC, 1), staying >= 2-D throughout
+                return jnp.sum(jnp.sum(v, axis=2), axis=1, keepdims=True)
+
+            def add_row(r, dval):  # dval: (FC, RB, W)
+                acc_ref[:, 3 * r : 3 * r + 1] += red(dval * x)
+                acc_ref[:, 3 * r + 1 : 3 * r + 2] += red(dval * y)
+                acc_ref[:, 3 * r + 2 : 3 * r + 3] += red(dval)
+
+            # --- recompute forward per-(face, pixel) quantities ---
+            s = [row_eval(0), row_eval(1), row_eval(2)]
+            d_in = jnp.minimum(jnp.minimum(s[0], s[1]), s[2])
+            us, lens, ovs, c2s = [], [], [], []
+            for ke in range(3):
+                u = row_eval(3 + ke)
+                length = coeff(6 + ke, 2)
+                ov = jnp.maximum(jnp.maximum(-u, u - length), 0.0)
+                us.append(u)
+                lens.append(length)
+                ovs.append(ov)
+                c2s.append(s[ke] * s[ke] + ov * ov)
+            dist2 = jnp.minimum(jnp.minimum(c2s[0], c2s[1]), c2s[2])
+            inside = d_in > 0
+            signed_sq = jnp.where(inside, d_in * d_in, -dist2)
+            logits = signed_sq * inv_sigma_sq
+            zraw = row_eval(9)
+            z = jnp.clip(zraw, 0.0, 1.0)
+            logp = -jax.nn.softplus(-logits)
+            l = logp - z * inv_gamma
+
+            # --- saved per-pixel state + incoming grads ---
+            sil = sil_ref[0, rows, :]
+            one_m_sil = 1.0 - sil
+            vis = vis_ref[0, rows, :]
+            m = mden_ref[0, 0, rows, :]
+            inv_den = 1.0 / mden_ref[0, 1, rows, :]
+            gsil = gsil_ref[0, rows, :]
+            gvis = gvis_ref[0, rows, :]
+            g_z = gattr_ref[0, n_attr - 1, rows, :]
+            out_z = attr_ref[0, n_attr - 1, rows, :]
+
+            what = jnp.exp(l - m) * inv_den  # softmax weight (FC, RB, W)
+
+            # dL/dl accumulates softmax-competition terms over channels.
+            ssum = g_z * (z - out_z) + gvis * (1.0 - vis)
+            for c in range(n_attr - 1):
+                g_c = gattr_ref[0, c, rows, :]
+                out_c = attr_ref[0, c, rows, :]
+                a_c = row_eval(10 + c)
+                ssum += g_c * (a_c - out_c)
+                add_row(10 + c, what * g_c)  # direct attr-row gradient
+            dl = what * ssum
+
+            # silhouette path: d(-softplus(x))/dx = -sigmoid(x);
+            # dL/dA = -gsil * (1 - sil).
+            dx = gsil * one_m_sil * jax.nn.sigmoid(logits) + dl * jax.nn.sigmoid(
+                -logits
+            )
+            clip_mask = jnp.logical_and(zraw > 0.0, zraw < 1.0).astype(
+                jnp.float32
+            )
+            add_row(9, (what * g_z - dl * inv_gamma) * clip_mask)
+
+            dss = dx * inv_sigma_sq  # dL/d(signed_sq)
+            insf = inside.astype(jnp.float32)
+            # Tie-splitting masks (even split, matching jnp.min gradients).
+            in_masks = [(sk == d_in).astype(jnp.float32) for sk in s]
+            in_cnt = in_masks[0] + in_masks[1] + in_masks[2]
+            o_masks = [(c2 == dist2).astype(jnp.float32) for c2 in c2s]
+            o_cnt = o_masks[0] + o_masks[1] + o_masks[2]
+            for ke in range(3):
+                sel_in = in_masks[ke] / in_cnt * insf
+                sel_out = o_masks[ke] / o_cnt * (1.0 - insf)
+                ds = (2.0 * d_in * sel_in - 2.0 * s[ke] * sel_out) * dss
+                add_row(ke, ds)
+                # overhang branch: ov = max(-u, u - L, 0)
+                a_side = -us[ke]
+                b_side = us[ke] - lens[ke]
+                take_b = jnp.logical_and(b_side >= a_side, b_side > 0).astype(
+                    jnp.float32
+                )
+                take_a = jnp.logical_and(a_side > b_side, a_side > 0).astype(
+                    jnp.float32
+                )
+                dov = -2.0 * ovs[ke] * sel_out * dss  # dL/d(ov)
+                add_row(3 + ke, dov * (take_b - take_a))
+                add_row(6 + ke, dov * (-take_b))
+
+        return 0
+
+    jax.lax.fori_loop(0, n_row_blocks, block_body, 0)
+    dcoeffs_ref[0] = acc_ref[...]
+
+
+def _backward_pallas(residual, grads, image_size, sigma, gamma, n_attr):
+    coeffs, ybounds, sil, attr, vis, mden = residual
+    g_sil, g_attr, g_vis = grads
+    b, fp, r3 = coeffs.shape
+    h, w = image_size
+    hp, wp = sil.shape[1], sil.shape[2]
+    nc = ybounds.shape[1]
+    interpret = jax.default_backend() == "cpu"
+
+    # Pad incoming (cropped) grads back to kernel-padded size with zeros.
+    g_sil = jnp.pad(g_sil, ((0, 0), (0, hp - h), (0, wp - w)))
+    g_attr = jnp.pad(g_attr, ((0, 0), (0, 0), (0, hp - h), (0, wp - w)))
+    g_vis = jnp.pad(g_vis, ((0, 0), (0, hp - h), (0, wp - w)))
+
+    kernel = functools.partial(
+        _raster_bwd_kernel,
+        n_row_blocks=hp // ROW_BLOCK,
+        n_attr=n_attr,
+        width=wp,
+        sigma=sigma,
+        gamma=gamma,
+    )
+    img_spec = pl.BlockSpec((1, hp, wp), lambda bi, ki: (bi, 0, 0),
+                            memory_space=pltpu.VMEM)
+    chan_spec = pl.BlockSpec((1, n_attr, hp, wp), lambda bi, ki: (bi, 0, 0, 0),
+                             memory_space=pltpu.VMEM)
+    dcoeffs = pl.pallas_call(
+        kernel,
+        grid=(b, fp // FACE_CHUNK),
+        in_specs=[
+            pl.BlockSpec((1, nc, 2), lambda bi, ki: (bi, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, FACE_CHUNK, r3), lambda bi, ki: (bi, ki, 0),
+                         memory_space=pltpu.VMEM),
+            img_spec,
+            chan_spec,
+            img_spec,
+            pl.BlockSpec((1, 2, hp, wp), lambda bi, ki: (bi, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            img_spec,
+            chan_spec,
+            img_spec,
+        ],
+        out_specs=pl.BlockSpec((1, FACE_CHUNK, r3), lambda bi, ki: (bi, ki, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, fp, r3), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((FACE_CHUNK, r3), jnp.float32)],
+        interpret=interpret,
+    )(ybounds, coeffs, sil, attr, vis, mden, g_sil, g_attr, g_vis)
+    return dcoeffs
 
 
 def _xla_equivalent(coeffs, image_size, sigma, gamma, n_attr):
@@ -278,7 +498,14 @@ def _xla_equivalent(coeffs, image_size, sigma, gamma, n_attr):
 
 
 def _rasterize_sorted_bwd(image_size, sigma, gamma, n_attr, residual, grads):
-    coeffs = residual
+    dcoeffs = _backward_pallas(residual, grads, image_size, sigma, gamma, n_attr)
+    return dcoeffs, None
+
+
+def _rasterize_sorted_bwd_xla(image_size, sigma, gamma, n_attr, residual, grads):
+    """Reference backward via jax.vjp of the XLA path (used by tests to
+    validate the hand-written backward kernel)."""
+    coeffs = residual[0]
     _, vjp = jax.vjp(
         lambda c: _xla_equivalent(c, image_size, sigma, gamma, n_attr), coeffs
     )

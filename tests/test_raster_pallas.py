@@ -73,12 +73,70 @@ def test_pallas_gradients_match_xla():
             jnp.sum(out.sil**2)
             + jnp.sum(out.attr**2)
             + jnp.sum((1.0 - out.depth) ** 2)
+            + jnp.sum(out.vis**2) * 0.1
         )
 
     gx = jax.grad(lambda vp_, a_: loss("xla", vp_, a_), argnums=(0, 1))(vp, a)
     gp = jax.grad(lambda vp_, a_: loss("pallas", vp_, a_), argnums=(0, 1))(vp, a)
     for x, p in zip(gx, gp):
         np.testing.assert_allclose(np.asarray(p), np.asarray(x), atol=1e-3, rtol=1e-3)
+
+
+def test_pallas_backward_kernel_matches_xla_vjp(mano_model):
+    """Hand-written backward kernel vs jax.vjp of the XLA path, on the full
+    synthetic hand mesh (multi-chunk, real culling)."""
+    import hocon.geometry.mano as M
+    from hocon.geometry.project import persp_project
+    from hocon.render import raster_pallas as RP
+
+    verts, _ = M.mano_forward(
+        mano_model, jnp.zeros((2, 15)), jnp.zeros((2, 10)),
+        jnp.asarray([[0.0, 0.0, 0.0], [0.2, -0.1, 0.3]]), scale_mm=False,
+    )
+    verts = verts + jnp.asarray([0.0, 0.0, 0.6])
+    k = jnp.asarray([[[120.0, 0, 32], [0, 120.0, 32], [0, 0, 1.0]]] * 2)
+    vp = persp_project(verts, k)
+    vz = verts[..., 2]
+    attrs = vp * 0.01  # flow-like attributes
+    zbar = R.normalize_depth(vz)
+    planes = R.face_planes(vp, zbar, mano_model.faces, attrs)
+    fv = np.asarray(vp[:, np.asarray(mano_model.faces)])
+    bbox = jnp.asarray(
+        np.stack(
+            [fv[..., 1].min(-1), fv[..., 1].max(-1),
+             fv[..., 0].min(-1), fv[..., 0].max(-1)], -1,
+        )
+    )
+    sigma, gamma, hw, n_attr = 1.0, 1.0 / 40.0, (64, 64), 3
+    coeffs, ybounds = RP.pack_sorted_planes(planes, bbox, sigma)
+
+    rng = np.random.default_rng(0)
+    out, residual = RP._rasterize_sorted_fwd(
+        coeffs, ybounds, hw, sigma, gamma, n_attr
+    )
+    # Restrict incoming grads to pixels with non-trivial coverage: outside,
+    # the culled kernel and the unculled XLA function are different
+    # functions by design (every loss masks those pixels out).
+    sup = np.asarray(out[0]) > 1e-3
+    grads = (
+        jnp.asarray((rng.standard_normal(out[0].shape) * sup).astype(np.float32)),
+        jnp.asarray(
+            (rng.standard_normal(out[1].shape) * sup[:, None]).astype(np.float32)
+        ),
+        jnp.asarray((rng.standard_normal(out[2].shape) * sup).astype(np.float32)),
+    )
+    d_kernel, _ = RP._rasterize_sorted_bwd(hw, sigma, gamma, n_attr, residual, grads)
+    d_xla, _ = RP._rasterize_sorted_bwd_xla(hw, sigma, gamma, n_attr, residual, grads)
+    dk = np.asarray(d_kernel)
+    dx = np.asarray(d_xla)
+    scale = np.abs(dx).max()
+    # f32 rounding noise on this problem is ~1.5% of the max gradient for
+    # BOTH implementations (verified against an f64 vjp), so the kernel must
+    # match the XLA backward to that level — not bit-exactly.
+    np.testing.assert_allclose(dk, dx, atol=0.02 * scale)
+    # Cosine similarity of the full gradient must be essentially 1.
+    cos = np.sum(dk * dx) / (np.linalg.norm(dk) * np.linalg.norm(dx) + 1e-12)
+    assert cos > 0.9999, cos
 
 
 def test_pallas_nonsquare_and_width_padding():
