@@ -81,7 +81,7 @@ def make_train_step(
         )
         return loss, (terms, new_stats)
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(0,))
     def step(state: TrainState, batch: dict):
         (loss, (terms, new_stats)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
@@ -186,7 +186,7 @@ def make_warp_train_step(
         terms["mask_area"] = jnp.mean(jnp.sum(warp_out.mask, axis=(1, 2)))
         return total, (terms, new_stats)
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(0,))
     def step(state: TrainState, batch: dict):
         (loss, (terms, new_stats)), grads = jax.value_and_grad(
             loss_fn, has_aux=True

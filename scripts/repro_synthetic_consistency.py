@@ -1,0 +1,146 @@
+"""Reproduce the reference's core claim on the synthetic dataset:
+
+    sparse supervision + photometric consistency  >  sparse supervision alone
+
+(the CVPR'20 paper's headline ablation, SURVEY.md §0.4), measured as MPJPE
+over ALL frames of the training videos — only `--fraction` of which carry
+annotations; the rest are covered only by the warp loss.
+
+Run on TPU:  python scripts/repro_synthetic_consistency.py
+Writes results JSON to stdout (and per-stage prints to stderr).
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import jax
+import numpy as np
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+FRACTION = 0.125  # 1 annotated frame per 8-frame video
+RES = 128
+BATCH = 16
+STEPS_BASE = 300
+STEPS_WARP = 300
+VIDEOS, FRAMES = 8, 8
+
+
+def main():
+    import jax.numpy as jnp
+
+    from hocon.data.factory import get_dataset
+    from hocon.data.pipeline import BatchLoader
+    from hocon.evaluation.zimeval import EvalUtil
+    from hocon.geometry.mano import synthetic_mano_model
+    from hocon.models.hocnet import HOCNet
+    from hocon.train.state import create_train_state, make_optimizer
+    from hocon.train.steps import make_eval_step, make_train_step, make_warp_train_step
+
+    mano = synthetic_mano_model(0)
+    model = HOCNet(with_object=False, freeze_batchnorm=True, dtype=jnp.bfloat16)
+    optimizer = make_optimizer("adam", 2e-4)
+
+    common = dict(
+        image_size=RES, use_objects=False, mano=mano,
+        synth_videos=VIDEOS, synth_frames=FRAMES, seed=0,
+    )
+    t0 = time.time()
+    ds_single = get_dataset("synthetic", "train", fraction=FRACTION,
+                            train=True, **common)
+    ds_pair = get_dataset("synthetic", "train", fraction=FRACTION,
+                          train=True, pair_mode=True, pair_spacing=3, **common)
+    ds_eval = get_dataset("synthetic", "train", fraction=1.0, train=False,
+                          **common)
+    log(f"datasets built in {time.time() - t0:.0f}s")
+
+    loader_single = BatchLoader(ds_single, BATCH, seed=0)
+    loader_pair = BatchLoader(ds_pair, BATCH, seed=0)
+    loader_eval = BatchLoader(ds_eval, BATCH, shuffle=False, drop_last=False)
+
+    def train(state, loader, step_fn, n_steps, tag):
+        t0 = time.time()
+        it, epoch = iter(loader.epoch(0)), 0
+        for i in range(n_steps):
+            try:
+                batch = next(it)
+            except StopIteration:
+                epoch += 1
+                it = iter(loader.epoch(epoch))
+                batch = next(it)
+            state, terms = step_fn(state, batch)
+            if i % 100 == 0:
+                log(f"[{tag}] step {i} loss={float(terms['loss_total']):.3f}")
+        jax.block_until_ready(state.params)
+        log(f"[{tag}] {n_steps} steps in {time.time() - t0:.0f}s")
+        return state
+
+    def evaluate(state, tag):
+        eval_step = make_eval_step(model, mano)
+        ev_all, ev_unsup = EvalUtil(), EvalUtil()
+        sup_flags = np.asarray(ds_eval.pose_dataset.supervised)
+        # Note: supervised flags from the TRAIN dataset (same frames).
+        sup_train = np.asarray(ds_single.pose_dataset.supervised)
+        idx = 0
+        for batch in loader_eval.epoch(0):
+            preds = jax.device_get(eval_step(state, batch))
+            gt = np.asarray(batch["joints3d"])
+            for k in range(gt.shape[0]):
+                ev_all.feed(gt[k], preds["joints_c_mm"][k])
+                if not sup_train[idx % len(sup_train)]:
+                    ev_unsup.feed(gt[k], preds["joints_c_mm"][k])
+                idx += 1
+        mpjpe_all = ev_all.get_measures(0, 50, 20)[0]
+        mpjpe_unsup = ev_unsup.get_measures(0, 50, 20)[0]
+        log(f"[{tag}] MPJPE all={mpjpe_all:.2f}mm unannotated={mpjpe_unsup:.2f}mm")
+        return mpjpe_all, mpjpe_unsup
+
+    # --- Stage A: sparse supervision only ---
+    sample = next(iter(loader_single))
+    state = create_train_state(model, mano, optimizer, sample,
+                               jax.random.PRNGKey(0), with_object=False)
+    step_base = make_train_step(model, mano, optimizer)
+    state = train(state, loader_single, step_base, STEPS_BASE, "baseline")
+    base_all, base_unsup = evaluate(state, "baseline")
+
+    # --- Stage B: + photometric consistency (warm start, ref protocol) ---
+    import jax.numpy as jnp2
+
+    copy = lambda t: jax.tree_util.tree_map(jnp2.copy, t)
+    warp_state = create_train_state(model, mano, optimizer, sample,
+                                    jax.random.PRNGKey(0), with_object=False)
+    # Copies: train steps donate their input state buffers.
+    warp_state = type(warp_state)(
+        params=copy(state.params), batch_stats=copy(state.batch_stats),
+        opt_state=warp_state.opt_state, step=warp_state.step,
+    )
+    step_warp = make_warp_train_step(
+        model, mano, optimizer, image_size=(RES, RES),
+        lambda_consist=2.0, consist_gt_refs=True, backend="auto",
+    )
+    warp_state = train(warp_state, loader_pair, step_warp, STEPS_WARP, "warp")
+    warp_all, warp_unsup = evaluate(warp_state, "warp")
+
+    # --- Control: continue sparse-only for the same extra steps ---
+    ctrl_state = train(state, loader_single, step_base, STEPS_WARP, "control")
+    ctrl_all, ctrl_unsup = evaluate(ctrl_state, "control")
+
+    print(json.dumps({
+        "fraction": FRACTION,
+        "baseline_mpjpe_unannotated_mm": round(base_unsup, 2),
+        "control_extra_steps_mpjpe_unannotated_mm": round(ctrl_unsup, 2),
+        "warp_mpjpe_unannotated_mm": round(warp_unsup, 2),
+        "baseline_mpjpe_all_mm": round(base_all, 2),
+        "warp_mpjpe_all_mm": round(warp_all, 2),
+        "consistency_gain_mm": round(ctrl_unsup - warp_unsup, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

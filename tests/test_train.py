@@ -17,6 +17,11 @@ from hocon.train.state import create_train_state, make_optimizer
 from hocon.train.steps import make_eval_step, make_train_step, make_warp_train_step
 
 
+def _fresh(state):
+    # Train steps donate their input state; hand each test its own copy.
+    return jax.tree_util.tree_map(jnp.copy, state)
+
+
 @pytest.fixture(scope="module")
 def setup(mano_model):
     ds = get_dataset(
@@ -35,6 +40,7 @@ def setup(mano_model):
 
 def test_supervised_step_decreases_loss(setup, mano_model):
     _, _, model, optimizer, batch, state = setup
+    state = _fresh(state)
     step = make_train_step(model, mano_model, optimizer)
     losses = []
     for _ in range(12):
@@ -92,6 +98,7 @@ def test_checkpoint_roundtrip(tmp_path, setup, mano_model):
     from hocon.train.checkpoints import CheckpointManager
 
     _, _, model, optimizer, batch, state = setup
+    state = _fresh(state)
     step = make_train_step(model, mano_model, optimizer)
     state, _ = step(state, batch)
     mgr = CheckpointManager(str(tmp_path / "ckpt"))
@@ -119,12 +126,12 @@ def test_data_parallel_8_devices(setup, mano_model):
     mesh = make_mesh()
     step = make_train_step(model, mano_model, optimizer)
 
-    state_r = replicate(state, mesh)
+    state_r = replicate(_fresh(state), mesh)
     batch_s = shard_batch(batch, mesh)
     new_state, terms = step(state_r, batch_s)
     loss_dp = float(terms["loss_total"])
 
-    new_state_1, terms_1 = step(state, batch)
+    new_state_1, terms_1 = step(_fresh(state), batch)
     loss_1 = float(terms_1["loss_total"])
     np.testing.assert_allclose(loss_dp, loss_1, rtol=2e-4)
     # Param updates agree across placements.
