@@ -35,6 +35,8 @@ def add_exp_opts(p: argparse.ArgumentParser):
     g.add_argument("--max_steps_per_epoch", type=int, default=0)
     g.add_argument("--profile", action="store_true",
                    help="emit a jax.profiler trace for the first steps")
+    g.add_argument("--vis_freq", type=int, default=0,
+                   help="save qualitative grids every N eval batches (0=off)")
 
 
 def add_net_opts(p: argparse.ArgumentParser):

@@ -142,9 +142,20 @@ def main(argv=None):
               f"loss={train_metrics.get('loss_total', float('nan')):.4f} "
               f"({train_metrics['steps_per_sec']:.2f} steps/s)")
         if (epoch + 1) % args.eval_freq == 0:
+            vis_fn = None
+            if args.vis_freq:
+                from hocon.visualize.samplevis import sample_vis
+
+                def vis_fn(ep, i, batch, preds):  # noqa: E306
+                    sample_vis(
+                        batch, preds,
+                        os.path.join(run_dir, "images", f"ep{ep}_b{i}.png"),
+                    )
+
             _, val_metrics = epoch_pass(
                 val_loader, state, eval_step, train=False, epoch=epoch,
                 writer=writer, mesh=mesh, max_steps=max_steps,
+                vis_fn=vis_fn, vis_freq=args.vis_freq,
             )
             print(f"[epoch {epoch}] val MPJPE={val_metrics['mpjpe_mm']:.2f}mm "
                   f"AUC={val_metrics['auc']:.3f}")
