@@ -279,17 +279,15 @@ def _rasterize_sorted_fwd(coeffs, ybounds, image_size, sigma, gamma, n_attr):
 def _raster_bwd_kernel(
     ybounds_ref,  # SMEM (1, NC, 2)
     coeffs_ref,  # VMEM (1, FC, 3R)       block @ (b, k)
-    sil_ref,  # VMEM (1, Hp, Wp)          @ b
-    attr_ref,  # VMEM (1, C+1, Hp, Wp)    @ b
-    vis_ref,  # VMEM (1, Hp, Wp)
-    mden_ref,  # VMEM (1, 2, Hp, Wp)
-    gsil_ref,  # VMEM (1, Hp, Wp)
-    gattr_ref,  # VMEM (1, C+1, Hp, Wp)
-    gvis_ref,  # VMEM (1, Hp, Wp)
-    dcoeffs_ref,  # out VMEM (1, FC, 3R)  block @ (b, k)
-    acc_ref,  # scratch VMEM (FC, 3R)
+    sil_ref,  # VMEM (1, RB, Wp)          @ (b, yi)
+    attr_ref,  # VMEM (1, C+1, RB, Wp)    @ (b, yi)
+    vis_ref,  # VMEM (1, RB, Wp)
+    mden_ref,  # VMEM (1, 2, RB, Wp)
+    gsil_ref,  # VMEM (1, RB, Wp)
+    gattr_ref,  # VMEM (1, C+1, RB, Wp)
+    gvis_ref,  # VMEM (1, RB, Wp)
+    dcoeffs_ref,  # out VMEM (1, FC, 3R)  block @ (b, k) — revisited over yi
     *,
-    n_row_blocks: int,
     n_attr: int,
     width: int,
     sigma: float,
@@ -297,136 +295,130 @@ def _raster_bwd_kernel(
 ):
     """Gradient of the soft raster w.r.t. the face-plane coefficients.
 
-    Mirror of the forward: grid over (batch, FACE CHUNK); loop over pixel
-    row-blocks inside the chunk's y-interval (same culling); recompute the
-    per-(face, pixel) forward quantities and chain the output gradients
-    back to each affine row, reducing over pixels into (FC, 3) per row.
-    Deterministic: one program owns each (b, chunk) output block.
+    Mirror of the forward: grid (batch, FACE CHUNK, pixel row-block), row
+    blocks fastest. The (b, chunk) output block stays resident in VMEM
+    across its row-block revisits and accumulates per-row gradient
+    reductions; row blocks outside the chunk's y-interval are skipped
+    (same culling as the forward). Deterministic: one program sequence
+    owns each output block.
     """
     k = pl.program_id(1)
+    yi = pl.program_id(2)
     rb = ROW_BLOCK
     inv_sigma_sq = 1.0 / (sigma * sigma)
     inv_gamma = 1.0 / gamma
 
-    acc_ref[...] = jnp.zeros_like(acc_ref)
+    @pl.when(yi == 0)
+    def _():
+        dcoeffs_ref[...] = jnp.zeros_like(dcoeffs_ref)
+
     a = coeffs_ref[0]  # (FC, 3R)
     ymin = ybounds_ref[0, k, 0]
     ymax = ybounds_ref[0, k, 1]
+    y0 = (yi * rb).astype(jnp.float32)
 
     x = (
         jax.lax.broadcasted_iota(jnp.int32, (1, 1, width), 2).astype(jnp.float32)
         + 0.5
     )
-    y_iota = (
+    y = (
         jax.lax.broadcasted_iota(jnp.int32, (1, rb, 1), 1).astype(jnp.float32)
+        + y0
         + 0.5
     )
 
     def coeff(r, j):
         return a[:, 3 * r + j : 3 * r + j + 1][:, :, None]  # (FC, 1, 1)
 
-    def block_body(bi, _):
-        y0 = (bi * rb).astype(jnp.float32)
+    @pl.when(jnp.logical_and(y0 + rb > ymin, y0 < ymax))
+    def _():
+        def row_eval(r):
+            return coeff(r, 0) * x + (coeff(r, 1) * y + coeff(r, 2))
 
-        @pl.when(jnp.logical_and(y0 + rb > ymin, y0 < ymax))
-        def _():
-            y = y_iota + y0
-            rows = pl.ds(bi * rb, rb)
+        def red(v):  # (FC, RB, W) -> (FC, 1), staying >= 2-D throughout
+            return jnp.sum(jnp.sum(v, axis=2), axis=1, keepdims=True)
 
-            def row_eval(r):
-                return coeff(r, 0) * x + (coeff(r, 1) * y + coeff(r, 2))
+        def add_row(r, dval):  # dval: (FC, RB, W)
+            dcoeffs_ref[0, :, 3 * r : 3 * r + 1] += red(dval * x)
+            dcoeffs_ref[0, :, 3 * r + 1 : 3 * r + 2] += red(dval * y)
+            dcoeffs_ref[0, :, 3 * r + 2 : 3 * r + 3] += red(dval)
 
-            def red(v):  # (FC, RB, W) -> (FC, 1), staying >= 2-D throughout
-                return jnp.sum(jnp.sum(v, axis=2), axis=1, keepdims=True)
+        # --- recompute forward per-(face, pixel) quantities ---
+        s = [row_eval(0), row_eval(1), row_eval(2)]
+        d_in = jnp.minimum(jnp.minimum(s[0], s[1]), s[2])
+        us, lens, ovs, c2s = [], [], [], []
+        for ke in range(3):
+            u = row_eval(3 + ke)
+            length = coeff(6 + ke, 2)
+            ov = jnp.maximum(jnp.maximum(-u, u - length), 0.0)
+            us.append(u)
+            lens.append(length)
+            ovs.append(ov)
+            c2s.append(s[ke] * s[ke] + ov * ov)
+        dist2 = jnp.minimum(jnp.minimum(c2s[0], c2s[1]), c2s[2])
+        inside = d_in > 0
+        signed_sq = jnp.where(inside, d_in * d_in, -dist2)
+        logits = signed_sq * inv_sigma_sq
+        zraw = row_eval(9)
+        z = jnp.clip(zraw, 0.0, 1.0)
+        logp = -jax.nn.softplus(-logits)
+        l = logp - z * inv_gamma
 
-            def add_row(r, dval):  # dval: (FC, RB, W)
-                acc_ref[:, 3 * r : 3 * r + 1] += red(dval * x)
-                acc_ref[:, 3 * r + 1 : 3 * r + 2] += red(dval * y)
-                acc_ref[:, 3 * r + 2 : 3 * r + 3] += red(dval)
+        # --- saved per-pixel state + incoming grads ---
+        sil = sil_ref[0]
+        one_m_sil = 1.0 - sil
+        vis = vis_ref[0]
+        m = mden_ref[0, 0]
+        inv_den = 1.0 / mden_ref[0, 1]
+        gsil = gsil_ref[0]
+        gvis = gvis_ref[0]
+        g_z = gattr_ref[0, n_attr - 1]
+        out_z = attr_ref[0, n_attr - 1]
 
-            # --- recompute forward per-(face, pixel) quantities ---
-            s = [row_eval(0), row_eval(1), row_eval(2)]
-            d_in = jnp.minimum(jnp.minimum(s[0], s[1]), s[2])
-            us, lens, ovs, c2s = [], [], [], []
-            for ke in range(3):
-                u = row_eval(3 + ke)
-                length = coeff(6 + ke, 2)
-                ov = jnp.maximum(jnp.maximum(-u, u - length), 0.0)
-                us.append(u)
-                lens.append(length)
-                ovs.append(ov)
-                c2s.append(s[ke] * s[ke] + ov * ov)
-            dist2 = jnp.minimum(jnp.minimum(c2s[0], c2s[1]), c2s[2])
-            inside = d_in > 0
-            signed_sq = jnp.where(inside, d_in * d_in, -dist2)
-            logits = signed_sq * inv_sigma_sq
-            zraw = row_eval(9)
-            z = jnp.clip(zraw, 0.0, 1.0)
-            logp = -jax.nn.softplus(-logits)
-            l = logp - z * inv_gamma
+        what = jnp.exp(l - m) * inv_den  # softmax weight (FC, RB, W)
 
-            # --- saved per-pixel state + incoming grads ---
-            sil = sil_ref[0, rows, :]
-            one_m_sil = 1.0 - sil
-            vis = vis_ref[0, rows, :]
-            m = mden_ref[0, 0, rows, :]
-            inv_den = 1.0 / mden_ref[0, 1, rows, :]
-            gsil = gsil_ref[0, rows, :]
-            gvis = gvis_ref[0, rows, :]
-            g_z = gattr_ref[0, n_attr - 1, rows, :]
-            out_z = attr_ref[0, n_attr - 1, rows, :]
+        # dL/dl accumulates softmax-competition terms over channels.
+        ssum = g_z * (z - out_z) + gvis * (1.0 - vis)
+        for c in range(n_attr - 1):
+            g_c = gattr_ref[0, c]
+            out_c = attr_ref[0, c]
+            a_c = row_eval(10 + c)
+            ssum += g_c * (a_c - out_c)
+            add_row(10 + c, what * g_c)  # direct attr-row gradient
+        dl = what * ssum
 
-            what = jnp.exp(l - m) * inv_den  # softmax weight (FC, RB, W)
+        # silhouette path: d(-softplus(x))/dx = -sigmoid(x);
+        # dL/dA = -gsil * (1 - sil).
+        dx = gsil * one_m_sil * jax.nn.sigmoid(logits) + dl * jax.nn.sigmoid(
+            -logits
+        )
+        clip_mask = jnp.logical_and(zraw > 0.0, zraw < 1.0).astype(jnp.float32)
+        add_row(9, (what * g_z - dl * inv_gamma) * clip_mask)
 
-            # dL/dl accumulates softmax-competition terms over channels.
-            ssum = g_z * (z - out_z) + gvis * (1.0 - vis)
-            for c in range(n_attr - 1):
-                g_c = gattr_ref[0, c, rows, :]
-                out_c = attr_ref[0, c, rows, :]
-                a_c = row_eval(10 + c)
-                ssum += g_c * (a_c - out_c)
-                add_row(10 + c, what * g_c)  # direct attr-row gradient
-            dl = what * ssum
-
-            # silhouette path: d(-softplus(x))/dx = -sigmoid(x);
-            # dL/dA = -gsil * (1 - sil).
-            dx = gsil * one_m_sil * jax.nn.sigmoid(logits) + dl * jax.nn.sigmoid(
-                -logits
-            )
-            clip_mask = jnp.logical_and(zraw > 0.0, zraw < 1.0).astype(
+        dss = dx * inv_sigma_sq  # dL/d(signed_sq)
+        insf = inside.astype(jnp.float32)
+        # Tie-splitting masks (even split, matching jnp.min gradients).
+        in_masks = [(sk == d_in).astype(jnp.float32) for sk in s]
+        in_cnt = in_masks[0] + in_masks[1] + in_masks[2]
+        o_masks = [(c2 == dist2).astype(jnp.float32) for c2 in c2s]
+        o_cnt = o_masks[0] + o_masks[1] + o_masks[2]
+        for ke in range(3):
+            sel_in = in_masks[ke] / in_cnt * insf
+            sel_out = o_masks[ke] / o_cnt * (1.0 - insf)
+            ds = (2.0 * d_in * sel_in - 2.0 * s[ke] * sel_out) * dss
+            add_row(ke, ds)
+            # overhang branch: ov = max(-u, u - L, 0)
+            a_side = -us[ke]
+            b_side = us[ke] - lens[ke]
+            take_b = jnp.logical_and(b_side >= a_side, b_side > 0).astype(
                 jnp.float32
             )
-            add_row(9, (what * g_z - dl * inv_gamma) * clip_mask)
-
-            dss = dx * inv_sigma_sq  # dL/d(signed_sq)
-            insf = inside.astype(jnp.float32)
-            # Tie-splitting masks (even split, matching jnp.min gradients).
-            in_masks = [(sk == d_in).astype(jnp.float32) for sk in s]
-            in_cnt = in_masks[0] + in_masks[1] + in_masks[2]
-            o_masks = [(c2 == dist2).astype(jnp.float32) for c2 in c2s]
-            o_cnt = o_masks[0] + o_masks[1] + o_masks[2]
-            for ke in range(3):
-                sel_in = in_masks[ke] / in_cnt * insf
-                sel_out = o_masks[ke] / o_cnt * (1.0 - insf)
-                ds = (2.0 * d_in * sel_in - 2.0 * s[ke] * sel_out) * dss
-                add_row(ke, ds)
-                # overhang branch: ov = max(-u, u - L, 0)
-                a_side = -us[ke]
-                b_side = us[ke] - lens[ke]
-                take_b = jnp.logical_and(b_side >= a_side, b_side > 0).astype(
-                    jnp.float32
-                )
-                take_a = jnp.logical_and(a_side > b_side, a_side > 0).astype(
-                    jnp.float32
-                )
-                dov = -2.0 * ovs[ke] * sel_out * dss  # dL/d(ov)
-                add_row(3 + ke, dov * (take_b - take_a))
-                add_row(6 + ke, dov * (-take_b))
-
-        return 0
-
-    jax.lax.fori_loop(0, n_row_blocks, block_body, 0)
-    dcoeffs_ref[0] = acc_ref[...]
+            take_a = jnp.logical_and(a_side > b_side, a_side > 0).astype(
+                jnp.float32
+            )
+            dov = -2.0 * ovs[ke] * sel_out * dss  # dL/d(ov)
+            add_row(3 + ke, dov * (take_b - take_a))
+            add_row(6 + ke, dov * (-take_b))
 
 
 def _backward_pallas(residual, grads, image_size, sigma, gamma, n_attr):
@@ -445,37 +437,42 @@ def _backward_pallas(residual, grads, image_size, sigma, gamma, n_attr):
 
     kernel = functools.partial(
         _raster_bwd_kernel,
-        n_row_blocks=hp // ROW_BLOCK,
         n_attr=n_attr,
         width=wp,
         sigma=sigma,
         gamma=gamma,
     )
-    img_spec = pl.BlockSpec((1, hp, wp), lambda bi, ki: (bi, 0, 0),
+    rbk = ROW_BLOCK
+    img_spec = pl.BlockSpec((1, rbk, wp), lambda bi, ki, yi: (bi, yi, 0),
                             memory_space=pltpu.VMEM)
-    chan_spec = pl.BlockSpec((1, n_attr, hp, wp), lambda bi, ki: (bi, 0, 0, 0),
-                             memory_space=pltpu.VMEM)
+    chan_spec = pl.BlockSpec(
+        (1, n_attr, rbk, wp), lambda bi, ki, yi: (bi, 0, yi, 0),
+        memory_space=pltpu.VMEM,
+    )
     dcoeffs = pl.pallas_call(
         kernel,
-        grid=(b, fp // FACE_CHUNK),
+        grid=(b, fp // FACE_CHUNK, hp // rbk),
         in_specs=[
-            pl.BlockSpec((1, nc, 2), lambda bi, ki: (bi, 0, 0),
+            pl.BlockSpec((1, nc, 2), lambda bi, ki, yi: (bi, 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, FACE_CHUNK, r3), lambda bi, ki: (bi, ki, 0),
+            pl.BlockSpec((1, FACE_CHUNK, r3), lambda bi, ki, yi: (bi, ki, 0),
                          memory_space=pltpu.VMEM),
             img_spec,
             chan_spec,
             img_spec,
-            pl.BlockSpec((1, 2, hp, wp), lambda bi, ki: (bi, 0, 0, 0),
+            pl.BlockSpec((1, 2, rbk, wp), lambda bi, ki, yi: (bi, 0, yi, 0),
                          memory_space=pltpu.VMEM),
             img_spec,
             chan_spec,
             img_spec,
         ],
-        out_specs=pl.BlockSpec((1, FACE_CHUNK, r3), lambda bi, ki: (bi, ki, 0),
-                               memory_space=pltpu.VMEM),
+        # Output block depends only on (b, chunk): it stays resident across
+        # the row-block grid dimension and accumulates.
+        out_specs=pl.BlockSpec(
+            (1, FACE_CHUNK, r3), lambda bi, ki, yi: (bi, ki, 0),
+            memory_space=pltpu.VMEM,
+        ),
         out_shape=jax.ShapeDtypeStruct((b, fp, r3), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((FACE_CHUNK, r3), jnp.float32)],
         interpret=interpret,
     )(ybounds, coeffs, sil, attr, vis, mden, g_sil, g_attr, g_vis)
     return dcoeffs
