@@ -254,6 +254,16 @@ class FPHAB:
         for si, (start, count) in enumerate(self._seq_bounds):
             self._sample_seq[start : start + count] = si
 
+    def available_queries(self) -> set:
+        from hocon.data.queries import BaseQueries
+
+        qs = {BaseQueries.IMAGE, BaseQueries.JOINTS2D, BaseQueries.JOINTS3D,
+              BaseQueries.CAMINTR, BaseQueries.SIDE, BaseQueries.CENTER3D}
+        if self.objects:
+            qs |= {BaseQueries.OBJVERTS3D, BaseQueries.OBJVERTSCAN,
+                   BaseQueries.OBJFACES, BaseQueries.OBJPOSE}
+        return qs
+
     def __len__(self):
         return len(self.samples)
 

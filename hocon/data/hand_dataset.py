@@ -73,10 +73,17 @@ def _load_image(raw: dict) -> np.ndarray:
 
 class HandDataset:
     def __init__(self, pose_dataset, config: HandDatasetConfig | None = None,
-                 seed: int = 0):
+                 seed: int = 0, required_queries=None):
         self.pose_dataset = pose_dataset
         self.cfg = config or HandDatasetConfig()
         self._seed = seed
+        if required_queries and hasattr(pose_dataset, "available_queries"):
+            missing = set(required_queries) - set(pose_dataset.available_queries())
+            if missing:
+                raise ValueError(
+                    f"{type(pose_dataset).__name__} cannot serve queries: "
+                    f"{sorted(q.value for q in missing)}"
+                )
 
     def __len__(self):
         return len(self.pose_dataset)

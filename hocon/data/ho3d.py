@@ -105,6 +105,16 @@ class HO3D:
         for si, (s, c) in enumerate(self._seq_bounds):
             self._sample_seq[s : s + c] = si
 
+    def available_queries(self) -> set:
+        from hocon.data.queries import BaseQueries
+
+        qs = {BaseQueries.IMAGE, BaseQueries.JOINTS2D, BaseQueries.JOINTS3D,
+              BaseQueries.CAMINTR, BaseQueries.SIDE, BaseQueries.CENTER3D}
+        if self.use_objects:
+            qs |= {BaseQueries.OBJVERTS3D, BaseQueries.OBJVERTSCAN,
+                   BaseQueries.OBJFACES, BaseQueries.OBJPOSE}
+        return qs
+
     def __len__(self):
         return len(self.entries)
 

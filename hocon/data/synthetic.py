@@ -150,6 +150,17 @@ class SyntheticHandDataset:
             axis=-1,
         ).astype(np.float32)
 
+    def available_queries(self) -> set:
+        from hocon.data.queries import BaseQueries
+
+        qs = {BaseQueries.IMAGE, BaseQueries.JOINTS2D, BaseQueries.JOINTS3D,
+              BaseQueries.VERTS3D, BaseQueries.CAMINTR, BaseQueries.SIDE,
+              BaseQueries.CENTER3D}
+        if self.with_object:
+            qs |= {BaseQueries.OBJVERTS3D, BaseQueries.OBJVERTSCAN,
+                   BaseQueries.OBJFACES, BaseQueries.OBJPOSE}
+        return qs
+
     def __len__(self):
         return len(self.images)
 

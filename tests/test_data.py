@@ -129,6 +129,23 @@ def test_batch_loader_shapes_and_sharding(synth):
     )
 
 
+def test_query_declarations(synth):
+    from hocon.data.queries import BaseQueries
+
+    qs = synth.available_queries()
+    assert BaseQueries.VERTS3D in qs and BaseQueries.OBJPOSE in qs
+    # Requesting something the dataset can serve works...
+    HandDataset(synth, HandDatasetConfig(image_size=64),
+                required_queries={BaseQueries.JOINTS3D})
+    # ...an unservable query raises.
+    synth_noobj = SyntheticHandDataset(
+        n_videos=1, frames_per_video=2, image_size=32, with_object=False,
+    )
+    with pytest.raises(ValueError):
+        HandDataset(synth_noobj, HandDatasetConfig(image_size=32),
+                    required_queries={BaseQueries.OBJPOSE})
+
+
 def test_grain_loader_if_available(synth):
     pytest.importorskip("grain")
     from hocon.data.pipeline import grain_loader
