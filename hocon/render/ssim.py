@@ -19,21 +19,28 @@ def _gaussian_kernel(window_size: int, sigma: float, dtype) -> jnp.ndarray:
     half = (window_size - 1) / 2.0
     x = jnp.arange(window_size, dtype=dtype) - half
     g = jnp.exp(-(x**2) / (2.0 * sigma**2))
-    g = g / jnp.sum(g)
-    return g[:, None] * g[None, :]  # (K, K)
+    return g / jnp.sum(g)  # (K,)
 
 
 def _window_mean(x: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:
-    """Depthwise Gaussian filter. x: (B, H, W, C)."""
+    """Separable depthwise Gaussian filter (exact: g2d = g (x) g).
+
+    Two 1-D depthwise convs (2K taps) instead of one KxK (K^2 taps) —
+    depthwise convs run on the VPU, so this is a ~K/2x win on TPU.
+    """
     c = x.shape[-1]
-    k = kernel[:, :, None, None] * jnp.ones((1, 1, 1, c), x.dtype)  # (K,K,1,C)
+    k = kernel.shape[0]
+    ones_c = jnp.ones((1, 1, 1, c), x.dtype)
+    kv = kernel[:, None, None, None] * ones_c  # (K,1,1,C)
+    kh = kernel[None, :, None, None] * ones_c  # (1,K,1,C)
+    dn = ("NHWC", "HWIO", "NHWC")
+    y = jax.lax.conv_general_dilated(
+        x, kv, (1, 1), [((k - 1) // 2, (k - 1) // 2), (0, 0)],
+        dimension_numbers=dn, feature_group_count=c,
+    )
     return jax.lax.conv_general_dilated(
-        x,
-        k,
-        window_strides=(1, 1),
-        padding="SAME",
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        feature_group_count=c,
+        y, kh, (1, 1), [(0, 0), ((k - 1) // 2, (k - 1) // 2)],
+        dimension_numbers=dn, feature_group_count=c,
     )
 
 

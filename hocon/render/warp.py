@@ -46,34 +46,36 @@ def bilinear_sample(image: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray:
     y = coords[..., 1] - 0.5
     x0 = jnp.floor(x)
     y0 = jnp.floor(y)
-    fx = x - x0
-    fy = y - y0
+    # Border clamp: anchor in [0, W-2] so the 2x2 patch is in-bounds, and
+    # clip the fractions to [0, 1] (replicate-padding semantics; also stops
+    # far-out-of-range coords from extrapolating).
+    x0i = jnp.clip(x0.astype(jnp.int32), 0, w - 2)
+    y0i = jnp.clip(y0.astype(jnp.int32), 0, h - 2)
+    fx = jnp.clip(x - x0i, 0.0, 1.0)[..., None]
+    fy = jnp.clip(y - y0i, 0.0, 1.0)[..., None]
 
-    x0i = jnp.clip(x0.astype(jnp.int32), 0, w - 1)
-    x1i = jnp.clip(x0i + 1, 0, w - 1)
-    y0i = jnp.clip(y0.astype(jnp.int32), 0, h - 1)
-    y1i = jnp.clip(y0i + 1, 0, h - 1)
-
-    flat = image.reshape(b, h * w, c)
-
-    def gather(yi, xi):
-        idx = (yi * w + xi).reshape(b, -1)
-        return jnp.take_along_axis(flat, idx[..., None], axis=1).reshape(
-            coords.shape[:-1] + (c,)
+    # ONE gather of 2x2xC patches (instead of 4 single-texel gathers):
+    # TPU gather cost scales with index count, so this is ~4x cheaper.
+    starts = jnp.stack(
+        [y0i.reshape(b, -1), x0i.reshape(b, -1)], axis=-1
+    )  # (B, N, 2)
+    patches = jax.vmap(
+        lambda img, st: jax.lax.gather(
+            img,
+            st,
+            jax.lax.GatherDimensionNumbers(
+                offset_dims=(1, 2, 3),
+                collapsed_slice_dims=(),
+                start_index_map=(0, 1),
+            ),
+            slice_sizes=(2, 2, c),
+            mode=jax.lax.GatherScatterMode.CLIP,
         )
-
-    v00 = gather(y0i, x0i)
-    v01 = gather(y0i, x1i)
-    v10 = gather(y1i, x0i)
-    v11 = gather(y1i, x1i)
-    fx = fx[..., None]
-    fy = fy[..., None]
-    return (
-        v00 * (1 - fx) * (1 - fy)
-        + v01 * fx * (1 - fy)
-        + v10 * (1 - fx) * fy
-        + v11 * fx * fy
-    )
+    )(image, starts)  # (B, N, 2, 2, C)
+    patches = patches.reshape(coords.shape[:-1] + (2, 2, c))
+    top = patches[..., 0, 0, :] * (1 - fx) + patches[..., 0, 1, :] * fx
+    bot = patches[..., 1, 0, :] * (1 - fx) + patches[..., 1, 1, :] * fx
+    return top * (1 - fy) + bot * fy
 
 
 class WarpOutput(NamedTuple):
@@ -133,11 +135,15 @@ def photometric_loss(
 
     Args:
       warped, target: (B, H, W, C) in [0, 1].
-      mask: (B, H, W) soft validity weights.
+      mask: (B, H, W) soft validity weights. The mask is treated as a
+        WEIGHTING, not an optimization target: gradients are stopped
+        through it, otherwise the loss has a degenerate minimum where the
+        predicted mesh shrinks/leaves the frame to empty the mask.
 
     Returns:
       (scalar loss, diagnostics dict).
     """
+    mask = jax.lax.stop_gradient(mask)
     msum = jnp.sum(mask) + 1e-6
     l1_map = jnp.mean(jnp.abs(warped - target), axis=-1)
     l1 = jnp.sum(l1_map * mask) / msum
