@@ -41,7 +41,7 @@ def get_dataset(
 
         pose_ds = HO3D(
             root, split=split, fraction=fraction, use_objects=use_objects,
-            pair_spacing=pair_spacing,
+            pair_spacing=pair_spacing, mano=mano,
         )
     elif name == "synthetic":
         from hocon.data.synthetic import SyntheticHandDataset

@@ -51,11 +51,17 @@ class HO3D:
         fraction: float = 1.0,
         use_objects: bool = False,
         pair_spacing: int = 8,
+        mano=None,
     ):
+        """``mano``: optional ManoModel — when given, GT hand VERTICES are
+        computed from the per-frame MANO fits in the train-split metas
+        (handPose/handBeta/handTrans), enabling vertex supervision and
+        GT-ref photometric warps, as the reference does on HO-3D."""
         self.root = root
         self.split = split
         self.pair_spacing = pair_spacing
         self.use_objects = use_objects
+        self.mano = mano
         self.ycb_root = ycb_root or os.path.join(root, "models_root")
 
         split_dir = "train" if split == "train" else "evaluation"
@@ -159,10 +165,24 @@ class HO3D:
         else:
             joints_cam = np.zeros((21, 3), np.float32)
 
+        verts_cam = None
+        if (
+            self.mano is not None
+            and meta.get("handPose") is not None
+            and meta.get("handBeta") is not None
+        ):
+            verts_cam = self._mano_verts(
+                np.asarray(meta["handPose"], np.float32),
+                np.asarray(meta["handBeta"], np.float32),
+                np.asarray(
+                    meta.get("handTrans", np.zeros(3)), np.float32
+                ),
+            )
+
         out = {
             "image_path": self._rgb_path(entry),
             "joints3d_cam": joints_cam,
-            "verts3d_cam": None,
+            "verts3d_cam": verts_cam,
             "camintr": camintr,
             "obj_verts_can": None,
             "obj_faces": None,
@@ -192,6 +212,36 @@ class HO3D:
             pose[:3, 3] = COORD_FLIP @ np.asarray(meta["objTrans"], np.float32)
             out.update(obj_verts_can=verts, obj_faces=faces, obj_pose=pose)
         return out
+
+    def _mano_verts(self, pose48: np.ndarray, betas: np.ndarray,
+                    trans: np.ndarray) -> np.ndarray:
+        """Camera-frame hand vertices from a HO-3D MANO fit (meters)."""
+        import jax
+        import jax.numpy as jnp
+
+        from hocon.geometry.mano import mano_forward
+
+        @jax.jit
+        def fwd(pose, betas, trans):
+            v, _ = mano_forward(
+                self.mano,
+                pose[None, 3:],
+                betas[None],
+                pose[None, :3],
+                trans=trans[None],
+                use_pca=False,  # HO-3D stores full 45-dof axis-angle
+                flat_hand_mean=False,
+                scale_mm=False,
+            )
+            return v[0]
+
+        if not hasattr(self, "_mano_fwd"):
+            self._mano_fwd = fwd
+        verts_gl = np.asarray(
+            self._mano_fwd(jnp.asarray(pose48), jnp.asarray(betas),
+                           jnp.asarray(trans))
+        )
+        return (verts_gl @ COORD_FLIP.T).astype(np.float32)
 
     def sample_pair(self, i: int, rng: np.random.Generator) -> tuple[int, int]:
         si = self._sample_seq[i]

@@ -164,6 +164,20 @@ def test_ho3d_parse_train(tmp_path):
     assert s["mano_pose"].shape == (48,)
 
 
+def test_ho3d_mano_fit_verts(tmp_path, mano_model):
+    """With a MANO model, train-split samples expose GT vertices computed
+    from the per-frame MANO fits (reference HO-3D supervision)."""
+    root = str(tmp_path)
+    _write_ho3d_tree(root, split="train")
+    ds = H.HO3D(root, split="train", mano=mano_model)
+    s = ds.get_sample(0)
+    v = s["verts3d_cam"]
+    assert v is not None and v.shape == (778, 3)
+    assert np.all(np.isfinite(v))
+    # CV convention: hand sits in front of the camera (+z) like the joints.
+    assert v[:, 2].mean() > 0
+
+
 def test_ho3d_eval_split_root_only(tmp_path):
     root = str(tmp_path)
     _write_ho3d_tree(root, split="evaluation")
