@@ -72,6 +72,7 @@ def setup_common(args):
         args.dataset, args.split, args.data_root, args.image_size,
         fraction=args.fraction, use_objects=args.use_objects,
         pair_mode=getattr(args, "pair_mode", False),
+        clip_len=getattr(args, "clip_len", 2),
         pair_spacing=args.spacing, train=True, mano=mano, seed=args.seed,
         synth_videos=args.synth_videos, synth_frames=args.synth_frames,
     )

@@ -20,6 +20,7 @@ def get_dataset(
     use_objects: bool = False,
     pair_mode: bool = False,
     pair_spacing: int = 8,
+    clip_len: int = 2,
     train: bool = True,
     mano=None,
     augment: AugmentConfig | None = None,
@@ -61,6 +62,7 @@ def get_dataset(
         image_size=image_size,
         augment=augment or AugmentConfig(enabled=train),
         pair_mode=pair_mode,
+        clip_len=clip_len,
         train=train,
         max_obj_verts=max_obj_verts,
         max_obj_faces=max_obj_faces,

@@ -54,6 +54,8 @@ class HandDatasetConfig:
     max_obj_verts: int = 600
     max_obj_faces: int = 1000
     pair_mode: bool = False
+    clip_len: int = 2  # frames per sample in pair mode (2 = reference pairs;
+    #                    >2 = one annotated ref + clip_len-1 targets)
     train: bool = True
 
 
@@ -171,13 +173,26 @@ class HandDataset:
         rng = np.random.default_rng((self._seed, i))
         if not self.cfg.pair_mode:
             return self._process_frame(self.pose_dataset.get_sample(i), rng)
+        color_seed = (self._seed, i, 7)
         ref_i, tgt_i = self.pose_dataset.sample_pair(i, rng)
         ref = self._process_frame(
             self.pose_dataset.get_sample(ref_i), rng,
-            color_rng=np.random.default_rng((self._seed, i, 7)),
+            color_rng=np.random.default_rng(color_seed),
         )
-        tgt = self._process_frame(
-            self.pose_dataset.get_sample(tgt_i), rng,
-            color_rng=np.random.default_rng((self._seed, i, 7)),
-        )
+        tgts = [tgt_i]
+        while len(tgts) < self.cfg.clip_len - 1:
+            tgts.append(self.pose_dataset.sample_pair(i, rng)[1])
+        processed = [
+            self._process_frame(
+                self.pose_dataset.get_sample(t), rng,
+                color_rng=np.random.default_rng(color_seed),
+            )
+            for t in tgts
+        ]
+        if self.cfg.clip_len == 2:  # reference pair layout
+            return {"ref": ref, "tgt": processed[0]}
+        # k-frame clip: targets stacked along a leading axis.
+        import jax
+
+        tgt = jax.tree_util.tree_map(lambda *xs: np.stack(xs), *processed)
         return {"ref": ref, "tgt": tgt}

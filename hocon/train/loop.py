@@ -76,6 +76,10 @@ def epoch_pass(
         metrics.update(
             mpjpe_mm=epe_mean, mpjpe_median_mm=epe_med, auc=auc,
         )
+        # PCK curve samples (reference reports the curve alongside AUC).
+        for t, p in zip(np.asarray(thresh), np.asarray(pck)):
+            if round(float(t), 1) in (15.8, 28.9, 44.7):
+                metrics[f"pck@{t:.1f}mm"] = float(p)
         if obj_meter is not None and obj_meter._count:
             metrics["obj_verts_err_mm"] = obj_meter.mean
     if writer is not None:

@@ -143,6 +143,17 @@ def make_warp_train_step(
     def loss_fn(params, batch_stats, batch):
         ref, tgt = batch["ref"], batch["tgt"]
         b = ref["image"].shape[0]
+        # k-frame clips: targets arrive stacked as (B, K-1, ...) — flatten
+        # them into the batch dim (still pure DP, SURVEY.md §5.7).
+        if tgt["image"].ndim == 5:
+            k1 = tgt["image"].shape[1]
+            tgt = jax.tree_util.tree_map(
+                lambda x: x.reshape((b * k1,) + x.shape[2:]), tgt
+            )
+            tile = lambda x: jnp.repeat(x, k1, axis=0)
+        else:
+            k1 = 1
+            tile = lambda x: x
         joint = {
             "image": jnp.concatenate([ref["image"], tgt["image"]]),
             "camintr": jnp.concatenate([ref["camintr"], tgt["camintr"]]),
@@ -164,15 +175,16 @@ def make_warp_train_step(
             hand_lambdas=hand_lambdas, obj_lambdas=obj_lambdas,
         )
 
-        # Photometric consistency: render the TGT view carrying REF-frame
+        # Photometric consistency: render each TGT view carrying REF-frame
         # pixel coords, warp the ref image, compare to the tgt image.
         verts_tgt, faces = _combined_mesh(out_tgt, tgt, mano, use_gt_hand=False)
         verts_ref, _ = _combined_mesh(
             out_ref, ref, mano, use_gt_hand=consist_gt_refs
         )
         warp_out = render_warp(
-            verts_tgt, verts_ref, faces,
-            tgt["camintr"], ref["camintr"], _unnormalize(ref["image"]),
+            verts_tgt, tile(verts_ref), faces,
+            tgt["camintr"], tile(ref["camintr"]),
+            tile(_unnormalize(ref["image"])),
             image_size=image_size, sigma=sigma, gamma=gamma, backend=backend,
         )
         photo, photo_terms = photometric_loss(

@@ -94,6 +94,32 @@ def test_warp_step_runs_and_learns(mano_model):
     assert float(terms["mask_area"]) > 10  # renderer produced a real mask
 
 
+def test_clip_consistency_step(mano_model):
+    """k-frame clips (one annotated ref + 2 targets) run through the warp
+    step with targets folded into the batch dim."""
+    ds = get_dataset(
+        "synthetic", "train", image_size=64, use_objects=False, train=True,
+        mano=mano_model, pair_mode=True, clip_len=3, fraction=0.5,
+        synth_videos=2, synth_frames=4,
+    )
+    loader = BatchLoader(ds, batch_size=4, seed=0)
+    batch = next(iter(loader))
+    assert batch["tgt"]["image"].shape == (4, 2, 64, 64, 3)
+    model = HOCNet(with_object=False, freeze_batchnorm=True)
+    optimizer = make_optimizer("adam", 5e-4)
+    state = create_train_state(
+        model, mano_model, optimizer, batch["ref"], jax.random.PRNGKey(0),
+        with_object=False,
+    )
+    step = make_warp_train_step(
+        model, mano_model, optimizer, image_size=(64, 64), backend="xla",
+    )
+    for _ in range(3):
+        state, terms = step(state, batch)
+    assert np.isfinite(float(terms["loss_total"]))
+    assert float(terms["mask_area"]) > 10
+
+
 def test_checkpoint_roundtrip(tmp_path, setup, mano_model):
     from hocon.train.checkpoints import CheckpointManager
 
