@@ -77,14 +77,56 @@ class CheckpointManager:
     def restore_params_only(self, state: TrainState,
                             step: Optional[int] = None) -> TrainState:
         """Warm start: load params (+BN stats), keep fresh optimizer state —
-        the reference's baseline->warp-stage reload."""
-        restored = self.restore(state, step)
-        return TrainState(
-            params=restored.params,
-            batch_stats=restored.batch_stats,
-            opt_state=state.opt_state,
-            step=state.step,
+        the reference's baseline->warp-stage reload. PARTIAL matching: only
+        subtrees present in BOTH the checkpoint and the target (with equal
+        shapes) are loaded, so checkpoints transfer across model variants
+        (e.g. hand+object baseline -> hand-only warp stage), mirroring the
+        reference's non-strict ``reload_model``."""
+        step = step if step is not None else self._mgr.latest_step()
+        raw = self._mgr.restore(
+            step, args=ocp.args.Composite(state=ocp.args.StandardRestore())
+        )["state"]
+        params, n_p, skipped_p = _merge_partial(state.params, raw.get("params", {}))
+        stats, n_s, skipped_s = _merge_partial(
+            state.batch_stats, raw.get("batch_stats", {})
         )
+        if n_p == 0:
+            raise ValueError("warm start matched zero parameter arrays")
+        skipped = skipped_p + skipped_s
+        if skipped:
+            print(f"[hocon] warm start: skipped {len(skipped)} unmatched "
+                  f"arrays (e.g. {skipped[:3]})")
+        return TrainState(
+            params=params, batch_stats=stats,
+            opt_state=state.opt_state, step=state.step,
+        )
+
+
+def _merge_partial(target, source, path=""):
+    """Copy source leaves into target where paths exist and shapes match.
+
+    Returns (merged, n_loaded, skipped_paths)."""
+    import numpy as np
+
+    if isinstance(target, dict):
+        out = {}
+        n = 0
+        skipped = []
+        src = source if isinstance(source, dict) else {}
+        for k, v in target.items():
+            merged, nk, sk = _merge_partial(v, src.get(k), f"{path}/{k}")
+            out[k] = merged
+            n += nk
+            skipped += sk
+        # Source-only keys are dropped (target structure wins).
+        return out, n, skipped
+    if source is None:
+        return target, 0, [path + " (missing)"]
+    if hasattr(target, "shape") and np.shape(source) != np.shape(target):
+        return target, 0, [path + " (shape mismatch)"]
+    import jax.numpy as jnp
+
+    return jnp.asarray(source, dtype=getattr(target, "dtype", None)), 1, []
 
 
 def restore_for_warm_start(directory: str, state: TrainState) -> TrainState:

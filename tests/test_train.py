@@ -142,6 +142,25 @@ def test_checkpoint_roundtrip(tmp_path, setup, mano_model):
     assert int(restored.step) == int(state.step)
     warm = mgr.restore_params_only(fresh)
     assert int(warm.step) == 0  # fresh optimizer/step
+    np.testing.assert_allclose(
+        np.asarray(warm.params["trunk"]["conv_init"]["kernel"]),
+        np.asarray(state.params["trunk"]["conv_init"]["kernel"]),
+    )
+
+    # Partial warm start across model variants: hand-only model loads the
+    # shared subtrees from a hand+object checkpoint (reference non-strict
+    # reload_model).
+    model_noobj = HOCNet(with_object=False, freeze_batchnorm=True)
+    state_noobj = create_train_state(
+        model_noobj, mano_model, optimizer, batch, jax.random.PRNGKey(2),
+        with_object=False,
+    )
+    warm2 = mgr.restore_params_only(state_noobj)
+    np.testing.assert_allclose(
+        np.asarray(warm2.params["trunk"]["conv_init"]["kernel"]),
+        np.asarray(state.params["trunk"]["conv_init"]["kernel"]),
+    )
+    assert "obj_head" not in warm2.params
 
 
 def test_data_parallel_8_devices(setup, mano_model):
