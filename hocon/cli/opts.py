@@ -93,6 +93,9 @@ def add_warp_opts(p: argparse.ArgumentParser):
     g.add_argument("--raster_gamma", type=float, default=1.0 / 40.0)
     g.add_argument("--raster_backend", default="auto",
                    choices=["auto", "xla", "pallas"])
+    g.add_argument("--photo_downscale", type=int, default=1,
+                   help="compute the photometric term at 1/N resolution "
+                        "(1 = reference-faithful full res)")
     g.add_argument("--clip_len", type=int, default=2,
                    help="frames per consistency sample (2 = pairs; >2 = one "
                         "annotated ref + clip_len-1 targets)")

@@ -64,7 +64,7 @@ def main(argv=None):
         lambda_consist=args.lambda_consist,
         consist_gt_refs=args.consist_gt_refs,
         sigma=args.raster_sigma, gamma=args.raster_gamma,
-        backend=args.raster_backend,
+        backend=args.raster_backend, photo_downscale=args.photo_downscale,
     )
     eval_step = make_eval_step(model, mano)
     max_steps = args.max_steps_per_epoch or None

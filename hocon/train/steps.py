@@ -27,8 +27,10 @@ import jax.numpy as jnp
 import optax
 
 from hocon.data.augment import IMAGENET_MEAN, IMAGENET_STD
+from hocon.geometry.project import persp_project
 from hocon.models.losses import total_supervised_loss
-from hocon.render.warp import photometric_loss, render_warp
+from hocon.render.raster import soft_rasterize
+from hocon.render.warp import WarpOutput, bilinear_sample, photometric_loss
 from hocon.train.state import TrainState
 
 
@@ -137,8 +139,15 @@ def make_warp_train_step(
     sigma: float = 1.0,
     gamma: float = 1.0 / 40.0,
     backend: str = "auto",
+    photo_downscale: int = 1,
 ) -> Callable:
-    """Frame-pair photometric-consistency train step (the reference novelty)."""
+    """Frame-pair photometric-consistency train step (the reference novelty).
+
+    ``photo_downscale`` > 1 average-pools the rendered sampling coords /
+    mask and the target image by that factor before warping, cutting the
+    (gather-bound) warp cost ~quadratically. 1 = reference-faithful
+    full-resolution photometric term.
+    """
 
     def loss_fn(params, batch_stats, batch):
         ref, tgt = batch["ref"], batch["tgt"]
@@ -181,15 +190,24 @@ def make_warp_train_step(
         verts_ref, _ = _combined_mesh(
             out_ref, ref, mano, use_gt_hand=consist_gt_refs
         )
-        warp_out = render_warp(
-            verts_tgt, tile(verts_ref), faces,
-            tgt["camintr"], tile(ref["camintr"]),
-            tile(_unnormalize(ref["image"])),
+        tgt_pix = persp_project(verts_tgt, tgt["camintr"])
+        ref_pix = persp_project(tile(verts_ref), tile(ref["camintr"]))
+        raster = soft_rasterize(
+            tgt_pix, verts_tgt[..., 2], faces, attrs=ref_pix,
             image_size=image_size, sigma=sigma, gamma=gamma, backend=backend,
         )
-        photo, photo_terms = photometric_loss(
-            warp_out.warped, _unnormalize(tgt["image"]), warp_out.mask
-        )
+        coords, mask = raster.attr, raster.sil * raster.vis
+        tgt_img = _unnormalize(tgt["image"])
+        if photo_downscale > 1:
+            d = photo_downscale
+            pool = lambda x: jax.lax.reduce_window(
+                x, 0.0, jax.lax.add, (1, d, d) + (1,) * (x.ndim - 3),
+                (1, d, d) + (1,) * (x.ndim - 3), "VALID",
+            ) / (d * d)
+            coords, mask, tgt_img = pool(coords), pool(mask), pool(tgt_img)
+        warped = bilinear_sample(tile(_unnormalize(ref["image"])), coords)
+        photo, photo_terms = photometric_loss(warped, tgt_img, mask)
+        warp_out = WarpOutput(warped=warped, mask=mask, raster=raster)
 
         total = sup_ref + sup_tgt + lambda_consist * photo
         terms = {f"ref_{k}": v for k, v in terms_ref.items()}

@@ -120,6 +120,31 @@ def test_clip_consistency_step(mano_model):
     assert float(terms["mask_area"]) > 10
 
 
+def test_warp_step_photo_downscale(mano_model):
+    """photo_downscale computes the photometric term at reduced resolution
+    but stays finite and keeps a live mask."""
+    ds = get_dataset(
+        "synthetic", "train", image_size=64, use_objects=False, train=True,
+        mano=mano_model, pair_mode=True, fraction=0.5,
+        synth_videos=2, synth_frames=4,
+    )
+    loader = BatchLoader(ds, batch_size=4, seed=0)
+    batch = next(iter(loader))
+    model = HOCNet(with_object=False, freeze_batchnorm=True)
+    optimizer = make_optimizer("adam", 5e-4)
+    state = create_train_state(
+        model, mano_model, optimizer, batch["ref"], jax.random.PRNGKey(0),
+        with_object=False,
+    )
+    step = make_warp_train_step(
+        model, mano_model, optimizer, image_size=(64, 64), backend="xla",
+        photo_downscale=2,
+    )
+    state, terms = step(state, batch)
+    assert np.isfinite(float(terms["loss_total"]))
+    assert float(terms["mask_area"]) > 5  # (32x32 mask now)
+
+
 def test_checkpoint_roundtrip(tmp_path, setup, mano_model):
     from hocon.train.checkpoints import CheckpointManager
 
