@@ -67,9 +67,10 @@ def main(argv=None):
     if args.dump_codalab:
         all_joints, all_verts = [], []
         for batch in loader.epoch(0):
+            keep = np.asarray(batch.pop("_valid", np.ones(1))) > 0
             preds = jax.device_get(eval_step(state, shard_batch(batch, mesh)))
-            all_joints.append(preds["joints_cam"])
-            all_verts.append(preds["verts_cam"])
+            all_joints.append(preds["joints_cam"][keep])
+            all_verts.append(preds["verts_cam"][keep])
         zip_path = dump_ho3d_codalab(
             np.concatenate(all_joints), np.concatenate(all_verts),
             args.dump_codalab,

@@ -56,19 +56,26 @@ class BatchLoader:
         self.shard_index = shard_index
         self.shard_count = shard_count
 
-    def epoch_indices(self, epoch: int) -> np.ndarray:
+    def epoch_indices(self, epoch: int) -> tuple[np.ndarray, np.ndarray]:
+        """Returns (indices, valid) of shape (n_batches, local_batch);
+        valid is 0 for wrap-around padding rows (drop_last=False tail)."""
         idx = np.arange(len(self.dataset))
         if self.shuffle:
             rng = np.random.default_rng((self.seed, epoch))
             rng.shuffle(idx)
+        valid = np.ones(len(idx), np.float32)
         n_batches = len(idx) // self.batch_size
         if not self.drop_last and len(idx) % self.batch_size:
             pad = self.batch_size - len(idx) % self.batch_size
             idx = np.concatenate([idx, idx[:pad]])
+            valid = np.concatenate([valid, np.zeros(pad, np.float32)])
             n_batches += 1
-        return idx[: n_batches * self.batch_size].reshape(
-            n_batches, self.shard_count, self.local_batch
-        )[:, self.shard_index]
+        shape = (n_batches, self.shard_count, self.local_batch)
+        n = n_batches * self.batch_size
+        return (
+            idx[:n].reshape(shape)[:, self.shard_index],
+            valid[:n].reshape(shape)[:, self.shard_index],
+        )
 
     def steps_per_epoch(self) -> int:
         n = len(self.dataset) // self.batch_size
@@ -77,9 +84,13 @@ class BatchLoader:
         return n
 
     def epoch(self, epoch: int = 0) -> Iterator[dict]:
-        for batch_idx in self.epoch_indices(epoch):
+        indices, valids = self.epoch_indices(epoch)
+        for batch_idx, batch_valid in zip(indices, valids):
             samples = [self.dataset[int(i)] for i in batch_idx]
-            yield _TREE_STACK(samples)
+            batch = _TREE_STACK(samples)
+            if isinstance(batch, dict):
+                batch["_valid"] = batch_valid
+            yield batch
 
     def __iter__(self):
         return self.epoch(0)

@@ -56,14 +56,24 @@ def epoch_pass(
             preds = step_fn(state, batch)
             preds = jax.device_get(preds)
             gt_j = np.asarray(batch["joints3d"])
-            evaluator.feed(gt_j, preds["joints_c_mm"])
+            # Wrap-around padding rows (drop_last=False) carry _valid == 0
+            # and must not bias the metrics.
+            keep = (
+                np.asarray(batch["_valid"]) > 0
+                if "_valid" in batch
+                else np.ones(gt_j.shape[0], bool)
+            )
+            evaluator.feed(gt_j[keep], preds["joints_c_mm"][keep])
             if "obj_verts_c_mm" in preds and "objverts3d" in batch:
-                obj_meter.feed(
-                    np.asarray(batch["objverts3d"]),
-                    preds["obj_verts_c_mm"],
-                    np.asarray(batch.get("obj_verts_mask"))
+                ovm = (
+                    np.asarray(batch["obj_verts_mask"])[keep]
                     if "obj_verts_mask" in batch
-                    else None,
+                    else None
+                )
+                obj_meter.feed(
+                    np.asarray(batch["objverts3d"])[keep],
+                    preds["obj_verts_c_mm"][keep],
+                    ovm,
                 )
             if vis_fn is not None and vis_freq and i % vis_freq == 0:
                 vis_fn(epoch, i, jax.device_get(batch), preds)

@@ -118,15 +118,23 @@ def test_batch_loader_shapes_and_sharding(synth):
     # Two-host sharding partitions each global batch without overlap.
     l0 = BatchLoader(ds, batch_size=4, seed=0, shard_index=0, shard_count=2)
     l1 = BatchLoader(ds, batch_size=4, seed=0, shard_index=1, shard_count=2)
-    i0 = l0.epoch_indices(0)
-    i1 = l1.epoch_indices(0)
+    i0, _ = l0.epoch_indices(0)
+    i1, _ = l1.epoch_indices(0)
     assert i0.shape == (2, 2) and i1.shape == (2, 2)
     for b0, b1 in zip(i0, i1):
         assert set(b0) & set(b1) == set()
-    full = BatchLoader(ds, batch_size=4, seed=0).epoch_indices(0)
+    full, _ = BatchLoader(ds, batch_size=4, seed=0).epoch_indices(0)
     np.testing.assert_array_equal(
         np.sort(np.concatenate([i0, i1], axis=1).ravel()), np.sort(full.ravel())
     )
+
+    # drop_last=False pads with wrap-around rows marked invalid.
+    l = BatchLoader(ds, batch_size=3, shuffle=False, drop_last=False)
+    idx, valid = l.epoch_indices(0)
+    assert idx.shape == valid.shape == (3, 3)
+    assert valid.sum() == 8  # 8 real samples, 1 pad
+    batch = list(l.epoch(0))[-1]
+    assert batch["_valid"].sum() == 2
 
 
 def test_query_declarations(synth):
