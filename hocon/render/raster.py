@@ -6,27 +6,35 @@ Functional contract (matches what the reference gets from neural_renderer's
 exact gradients instead of NMR's hand-written approximate CUDA backward):
 
   For every screen-projected triangle f and pixel q:
-    d(q,f)   = signed distance (px) from q to the triangle boundary
-               (positive inside) — computed from normalized barycentric
-               edge functions, all AFFINE in pixel coordinates.
-    p(q,f)   = sigmoid(d / sigma)                    soft coverage
+    d2(q,f)  = SIGNED SQUARED distance (px^2) from q to the triangle
+               (positive inside; exact point-to-segment outside) — built
+               from per-face functions that are all AFFINE in pixel coords
+               (see FacePlanes).
+    p(q,f)   = sigmoid(d2 / sigma^2)                 soft coverage (SoftRas)
     sil(q)   = 1 - prod_f (1 - p(q,f))               soft silhouette
-    w(q,f)   = p * exp(-zbar(q,f) / gamma)           depth-softmax weight
-    attr(q)  = sum_f w * attr_f(q) / (sum_f w + w_bg) occlusion-aware blend
+    l(q,f)   = log p - zbar(q,f) / gamma             depth-softmax logit
+    attr(q)  = softmax over {l(q,f)} U {l_bg} of the interpolated
+               attributes (background: attrs 0, zbar 1) — occlusion-aware
+               blending that replaces the z-buffer visibility test
+               (no atomics, deterministic).
+    vis(q)   = 1 - background softmax share          soft visibility mask
 
   zbar is screen-space-interpolated depth normalized to [0,1] with
-  stop-gradient bounds; nearer faces dominate the softmax, which replaces
-  the z-buffer visibility test (no atomics, deterministic).
+  stop-gradient bounds. The softmax is computed STREAMING with a running
+  max (carried through the face-chunk scan), so gamma may be arbitrarily
+  sharp without overflow and empty pixels cleanly fall back to background.
 
-TPU mapping: every per-pixel quantity (3 edge distances, zbar, C attributes)
-is affine in (x, y), so evaluating them over a pixel tile is ONE matmul
-``planes[F, 4+C, 3] @ [x; y; 1][3, P]`` that lands on the MXU; the sigmoid /
-exp / reductions over faces are VPU work. The Pallas kernel
-(raster_pallas.py) and this XLA backend share the plane precomputation so
-they are numerically interchangeable.
+TPU mapping: every per-pixel quantity (edge distances, along-edge coords,
+zbar, C attributes) is affine in (x, y), so evaluating them over a pixel
+tile is one batched matmul/broadcast of ``planes[F, 10+C, 3]`` against
+``[x; y; 1]``; the sigmoid / exp / reductions over faces are VPU work. The
+Pallas kernels (raster_pallas.py) and this XLA backend share the plane
+precomputation and compute the same math, so they are numerically
+interchangeable (the kernels add chunk culling below the ~6*sigma coverage
+cutoff).
 
-Numerical safety: log(1-p) is accumulated as -softplus(d/sigma) (never
-log(0)); gamma >= 1/60 keeps exp(-zbar/gamma) in f32 range.
+Numerical safety: log(1-p) accumulates as -softplus(logits) (never log(0));
+log(p) as -softplus(-logits).
 """
 
 from __future__ import annotations
