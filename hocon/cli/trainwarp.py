@@ -69,11 +69,22 @@ def main(argv=None):
     eval_step = make_eval_step(model, mano)
     max_steps = args.max_steps_per_epoch or None
 
+    vis_batch = sample if args.vis_freq else None
     for epoch in range(args.epochs):
         state, train_metrics = epoch_pass(
             train_loader, state, train_step, train=True, epoch=epoch,
             mesh=mesh, writer=writer, max_steps=max_steps,
         )
+        if vis_batch is not None:
+            from hocon.visualize.warpvis import save_warp_panels
+
+            save_warp_panels(
+                model, mano, state, vis_batch,
+                os.path.join(run_dir, "images", f"warp_ep{epoch}.png"),
+                image_size=(args.image_size, args.image_size),
+                backend=args.raster_backend,
+                consist_gt_refs=args.consist_gt_refs,
+            )
         print(f"[epoch {epoch}] train "
               f"loss={train_metrics.get('loss_total', float('nan')):.4f} "
               f"photo={train_metrics.get('photo_total', float('nan')):.4f} "
