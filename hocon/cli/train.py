@@ -74,11 +74,13 @@ def setup_common(args):
         pair_mode=getattr(args, "pair_mode", False),
         clip_len=getattr(args, "clip_len", 2),
         pair_spacing=args.spacing, train=True, mano=mano, seed=args.seed,
+        center_idx=args.center_idx,
         synth_videos=args.synth_videos, synth_frames=args.synth_frames,
     )
     val_ds = get_dataset(
         args.dataset, args.val_split, args.data_root, args.image_size,
         use_objects=args.use_objects, train=False, mano=mano, seed=args.seed,
+        center_idx=args.center_idx,
         synth_videos=max(2, args.synth_videos // 4), synth_frames=args.synth_frames,
     )
     train_loader = BatchLoader(

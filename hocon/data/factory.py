@@ -27,6 +27,7 @@ def get_dataset(
     max_obj_verts: int = 600,
     max_obj_faces: int = 1000,
     seed: int = 0,
+    center_idx: int = 9,
     synth_videos: int = 8,
     synth_frames: int = 8,
 ) -> HandDataset:
@@ -63,6 +64,7 @@ def get_dataset(
         augment=augment or AugmentConfig(enabled=train),
         pair_mode=pair_mode,
         clip_len=clip_len,
+        center_idx=center_idx,
         train=train,
         max_obj_verts=max_obj_verts,
         max_obj_faces=max_obj_faces,
