@@ -204,6 +204,9 @@ def test_data_parallel_8_devices(setup, mano_model):
     new_state_1, terms_1 = step(_fresh(state), batch)
     loss_1 = float(terms_1["loss_total"])
     np.testing.assert_allclose(loss_dp, loss_1, rtol=2e-4)
+    # The compiled DP step must contain a cross-device gradient reduction.
+    hlo = jax.jit(step).lower(state_r, batch_s).compile().as_text()
+    assert "all-reduce" in hlo, "no gradient all-reduce in the DP step HLO"
     # Param updates agree across placements.
     p_dp = jax.device_get(new_state.params["mano_head"]["pose_mlp"]["Dense_2"]["kernel"])
     p_1 = jax.device_get(new_state_1.params["mano_head"]["pose_mlp"]["Dense_2"]["kernel"])
