@@ -32,7 +32,7 @@ STEPS_WARP = 300
 VIDEOS, FRAMES = 8, 8
 
 
-def main():
+def main(seed: int = 0):
     import jax.numpy as jnp
 
     from hocon.data.factory import get_dataset
@@ -49,7 +49,7 @@ def main():
 
     common = dict(
         image_size=RES, use_objects=False, mano=mano,
-        synth_videos=VIDEOS, synth_frames=FRAMES, seed=0,
+        synth_videos=VIDEOS, synth_frames=FRAMES, seed=seed,
     )
     t0 = time.time()
     ds_single = get_dataset("synthetic", "train", fraction=FRACTION,
@@ -104,7 +104,7 @@ def main():
     # --- Stage A: sparse supervision only ---
     sample = next(iter(loader_single))
     state = create_train_state(model, mano, optimizer, sample,
-                               jax.random.PRNGKey(0), with_object=False)
+                               jax.random.PRNGKey(seed), with_object=False)
     step_base = make_train_step(model, mano, optimizer)
     state = train(state, loader_single, step_base, STEPS_BASE, "baseline")
     base_all, base_unsup = evaluate(state, "baseline")
@@ -132,6 +132,7 @@ def main():
     ctrl_all, ctrl_unsup = evaluate(ctrl_state, "control")
 
     print(json.dumps({
+        "seed": seed,
         "fraction": FRACTION,
         "baseline_mpjpe_unannotated_mm": round(base_unsup, 2),
         "control_extra_steps_mpjpe_unannotated_mm": round(ctrl_unsup, 2),
@@ -143,4 +144,4 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    main(int(sys.argv[1]) if len(sys.argv) > 1 else 0)
