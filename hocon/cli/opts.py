@@ -33,6 +33,9 @@ def add_exp_opts(p: argparse.ArgumentParser):
                    help="checkpoint dir to load params (not opt state) from")
     g.add_argument("--seed", type=int, default=0)
     g.add_argument("--max_steps_per_epoch", type=int, default=0)
+    g.add_argument("--workers", type=int, default=0,
+                   help="grain worker processes for train data loading "
+                        "(0 = in-process)")
     g.add_argument("--profile", action="store_true",
                    help="emit a jax.profiler trace for the first steps")
     g.add_argument("--vis_freq", type=int, default=0,

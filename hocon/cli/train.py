@@ -83,10 +83,19 @@ def setup_common(args):
         center_idx=args.center_idx,
         synth_videos=max(2, args.synth_videos // 4), synth_frames=args.synth_frames,
     )
-    train_loader = BatchLoader(
-        train_ds, args.batch_size, seed=args.seed,
-        shard_index=jax.process_index(), shard_count=jax.process_count(),
-    )
+    if args.workers > 0:
+        from hocon.data.pipeline import GrainEpochLoader
+
+        train_loader = GrainEpochLoader(
+            train_ds, args.batch_size, seed=args.seed,
+            shard_index=jax.process_index(), shard_count=jax.process_count(),
+            worker_count=args.workers,
+        )
+    else:
+        train_loader = BatchLoader(
+            train_ds, args.batch_size, seed=args.seed,
+            shard_index=jax.process_index(), shard_count=jax.process_count(),
+        )
     val_loader = BatchLoader(
         val_ds, args.batch_size, shuffle=False,
         shard_index=jax.process_index(), shard_count=jax.process_count(),

@@ -96,6 +96,50 @@ class BatchLoader:
         return self.epoch(0)
 
 
+class GrainEpochLoader:
+    """Epoch-API adapter over a Grain DataLoader with worker processes.
+
+    Reference parity: torch ``DataLoader(workers=N)``. Grain runs the
+    dataset __getitem__ (decode/crop/augment) in ``worker_count`` child
+    processes and prefetches; this adapter slices the resulting infinite
+    stream into epochs so it is drop-in for ``BatchLoader`` in the train
+    loop (train only — eval needs the tail-validity masks of BatchLoader).
+    """
+
+    def __init__(
+        self,
+        dataset,
+        batch_size: int,
+        shuffle: bool = True,
+        seed: int = 0,
+        shard_index: int = 0,
+        shard_count: int = 1,
+        worker_count: int = 0,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.local_batch = batch_size // shard_count
+        self._steps = len(dataset) // batch_size
+        self._loader = grain_loader(
+            dataset, batch_size, shuffle=shuffle, seed=seed,
+            shard_index=shard_index, shard_count=shard_count,
+            worker_count=worker_count, num_epochs=None,
+        )
+        self._it = None
+
+    def steps_per_epoch(self) -> int:
+        return self._steps
+
+    def epoch(self, epoch: int = 0) -> Iterator[dict]:
+        if self._it is None:
+            self._it = iter(self._loader)
+        for _ in range(self._steps):
+            yield next(self._it)
+
+    def __iter__(self):
+        return self.epoch(0)
+
+
 def grain_loader(
     dataset,
     batch_size: int,

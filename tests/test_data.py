@@ -162,3 +162,16 @@ def test_grain_loader_if_available(synth):
     loader = grain_loader(ds, batch_size=4, shuffle=False, num_epochs=1)
     batch = next(iter(loader))
     assert batch[TransQueries.IMAGE.value].shape == (4, 64, 64, 3)
+
+
+def test_grain_epoch_loader(synth):
+    pytest.importorskip("grain")
+    from hocon.data.pipeline import GrainEpochLoader
+
+    ds = HandDataset(synth, HandDatasetConfig(image_size=64))
+    loader = GrainEpochLoader(ds, batch_size=4, shuffle=True, seed=0)
+    assert loader.steps_per_epoch() == 2
+    b0 = list(loader.epoch(0))
+    b1 = list(loader.epoch(1))
+    assert len(b0) == len(b1) == 2
+    assert b0[0][TransQueries.IMAGE.value].shape == (4, 64, 64, 3)
