@@ -59,7 +59,9 @@ def add_net_opts(p: argparse.ArgumentParser):
     g.add_argument("--no_bf16", dest="bf16", action="store_false")
     g.add_argument("--mano_lambda_verts3d", type=float, default=0.167)
     g.add_argument("--mano_lambda_joints3d", type=float, default=0.167)
-    g.add_argument("--mano_lambda_joints2d", type=float, default=0.0)
+    # 2D reprojection anchors the absolute branch (3D losses are
+    # root-centered); 0 leaves trans unsupervised in baseline training.
+    g.add_argument("--mano_lambda_joints2d", type=float, default=0.5)
     g.add_argument("--mano_lambda_shape", type=float, default=1e-6)
     g.add_argument("--mano_lambda_pose_reg", type=float, default=1e-6)
     g.add_argument("--obj_lambda_verts3d", type=float, default=0.167)

@@ -37,7 +37,6 @@ from hocon.data.cropping import (
     build_crop_affine,
     square_bbox_from_points,
     transform_intrinsics,
-    transform_points2d,
     warp_image,
 )
 from hocon.data.queries import TransQueries
@@ -122,8 +121,23 @@ class HandDataset:
                                 crop, cfg.augment)
         crop = normalize_image(crop)
 
-        k_adj = transform_intrinsics(k, aff).astype(np.float32)
-        joints2d_adj = transform_points2d(joints2d, aff).astype(np.float32)
+        # In-plane rotation jitter must hit the 3D labels too: the camera
+        # roll is unobservable from the crop, so leaving joints3d in the
+        # unrotated frame makes the 3D regression targets one-to-many label
+        # noise (the reference rotates joints3d/verts3d by the same rot_mat).
+        # Fold the rotation out of the intrinsics (K' = A·K·Rz^T has no
+        # rotation block when fx==fy) and rotate every camera-frame 3D label
+        # about the optical axis instead: pixel(Rz·p, K') == A·pixel(p, K).
+        t = np.deg2rad(rot_j)
+        rotz = np.array(
+            [[np.cos(t), -np.sin(t), 0.0],
+             [np.sin(t), np.cos(t), 0.0],
+             [0.0, 0.0, 1.0]],
+            np.float64,
+        )
+        k_adj = (transform_intrinsics(k, aff) @ rotz.T).astype(np.float32)
+        joints3d = (joints3d @ rotz.T).astype(np.float32)
+        joints2d_adj = _project(joints3d, k_adj).astype(np.float32)
 
         center3d = joints3d[cfg.center_idx]
         out = {
@@ -140,7 +154,7 @@ class HandDataset:
             ),
         }
         if raw.get("verts3d_cam") is not None:
-            verts3d = np.asarray(raw["verts3d_cam"], np.float32)
+            verts3d = np.asarray(raw["verts3d_cam"], np.float32) @ rotz.T
             out[TransQueries.VERTS3D.value] = (
                 (verts3d - center3d) * 1000.0
             ).astype(np.float32)
@@ -151,7 +165,7 @@ class HandDataset:
             nv = min(len(can), cfg.max_obj_verts)
             can_pad = np.zeros((cfg.max_obj_verts, 3), np.float32)
             can_pad[:nv] = can[:nv]
-            obj_cam = can_pad @ pose[:3, :3].T + pose[:3, 3]
+            obj_cam = (can_pad @ pose[:3, :3].T + pose[:3, 3]) @ rotz.T
             faces = np.asarray(raw.get("obj_faces"), np.int64)
             # Padded faces are degenerate (0,0,0) -> culled by the rasterizer.
             faces_pad = np.zeros((cfg.max_obj_faces, 3), np.int32)

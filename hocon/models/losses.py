@@ -31,7 +31,10 @@ def hand_losses(
     sup_mask: jnp.ndarray,
     lambda_verts3d: float = 0.167,
     lambda_joints3d: float = 0.167,
-    lambda_joints2d: float = 0.0,
+    # 2D reprojection is the ONLY supervised anchor for the absolute
+    # branch (3D terms are root-centered); default ON or trans is
+    # unsupervised in baseline training. (Reference weight: verify.)
+    lambda_joints2d: float = 0.5,
     lambda_shape: float = 1e-6,
     lambda_pose: float = 1e-6,
 ) -> tuple[jnp.ndarray, dict]:

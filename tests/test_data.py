@@ -175,3 +175,60 @@ def test_grain_epoch_loader(synth):
     b1 = list(loader.epoch(1))
     assert len(b0) == len(b1) == 2
     assert b0[0][TransQueries.IMAGE.value].shape == (4, 64, 64, 3)
+
+
+def test_rotation_aug_rotates_3d_labels(synth):
+    """In-plane rotation jitter must rotate 3D labels about the optical
+    axis (round-1 advisor, high severity): the adjusted K carries no
+    rotation, 3D labels reproject exactly under it, and two different
+    rotation jitters of the same frame are related by a pure z-rotation
+    applied consistently to joints AND verts/object labels."""
+    cfg = HandDatasetConfig(
+        image_size=64, train=True,
+        augment=AugmentConfig(
+            enabled=True, rot_jitter_deg=30.0, scale_jitter=0.0,
+            center_jitter_frac=0.0, brightness=0.0, contrast=0.0,
+            saturation=0.0,
+        ),
+        max_obj_verts=8, max_obj_faces=12,
+    )
+    a = HandDataset(synth, cfg, seed=11)[0]
+    b = HandDataset(synth, cfg, seed=12)[0]
+    for s in (a, b):
+        k = s[TransQueries.CAMINTR.value]
+        # Rotation folded out of the intrinsics (fx == fy here).
+        assert abs(k[0, 1]) < 1e-3 * abs(k[0, 0])
+        assert abs(k[1, 0]) < 1e-3 * abs(k[1, 1])
+        # 3D labels reproject exactly with the adjusted K.
+        jc = s[TransQueries.JOINTS_CAM.value]
+        hom = jc @ k.T
+        np.testing.assert_allclose(
+            hom[:, :2] / hom[:, 2:3], s[TransQueries.JOINTS2D.value],
+            atol=1e-2,
+        )
+    ja = a[TransQueries.JOINTS_CAM.value]
+    jb = b[TransQueries.JOINTS_CAM.value]
+    # Pure Rz relation: depths and xy-norms invariant, xy actually rotated.
+    np.testing.assert_allclose(ja[:, 2], jb[:, 2], atol=1e-5)
+    np.testing.assert_allclose(
+        np.linalg.norm(ja[:, :2], axis=1),
+        np.linalg.norm(jb[:, :2], axis=1), atol=1e-5,
+    )
+    assert np.abs(ja[:, :2] - jb[:, :2]).max() > 1e-4
+    # Recover the relative angle from the joints and check verts + object
+    # labels rotate by the SAME angle (labels stay mutually consistent).
+    cross = np.sum(jb[:, 0] * ja[:, 1] - jb[:, 1] * ja[:, 0])
+    dot = np.sum(jb[:, 0] * ja[:, 0] + jb[:, 1] * ja[:, 1])
+    t = np.arctan2(cross, dot)
+    rz = np.array(
+        [[np.cos(t), -np.sin(t), 0.0],
+         [np.sin(t), np.cos(t), 0.0],
+         [0.0, 0.0, 1.0]], np.float32,
+    )
+    for q in (TransQueries.VERTS3D, TransQueries.OBJVERTS3D,
+              TransQueries.JOINTS3D):
+        if q.value not in a:
+            continue
+        np.testing.assert_allclose(
+            b[q.value] @ rz.T, a[q.value], atol=0.2,
+        )  # mm tolerance: affine resampling noise only
