@@ -1,0 +1,227 @@
+"""Pallas TPU kernel for bilinear image sampling (the warp's grid_sample).
+
+Why a kernel: TPU gathers are index-count bound — the round-1 warp step
+spent ~28 ms (of 85) sampling the reference image at the rendered
+coordinates, and bf16/patch-shape tricks don't move it (CLAUDE.md perf
+notes). The matmul reformulation (one-hot/hat row selection on the MXU,
+see ``warp.bilinear_sample_mm``) is compute-cheap but XLA round-trips the
+(P, W*C) row tensor through HBM. This kernel fuses the whole pipeline in
+VMEM:
+
+  for each block of output rows:
+    ohT   = hat(iota_H - y)          (H, P)   y-lerp weights, bf16
+    rowsT = imgT @ ohT               (W*C, P) MXU — y-interpolated columns
+    wxT   = hat(iota_W - x)          (W, P)   x-lerp weights
+    out   = sum_w rows3 * wxT        (C, P)   VPU reduction
+
+``hat(d) = max(0, 1 - |d|)`` with coordinates clamped to the valid range
+reproduces exactly the border-clamp bilinear semantics of
+``warp.bilinear_sample_gather`` (same as torch grid_sample
+padding_mode='border', the reference's warp sampler).
+
+The image lives in VMEM transposed as (W*C, H) bf16 (393 KB at 256^2x3)
+and stays resident across the row-block grid dimension. The backward is a
+hand-written mirror kernel (2 matmuls: recompute rowsT + the y-derivative
+rows) returning dcoords; the image is data (no gradient needed).
+
+Reference parity: torch ``F.grid_sample`` used by the consistency warp,
+SURVEY.md §3.2 step (3).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+ROW_BLOCK = 8  # output rows per program
+
+
+def _round_up(v: int, m: int) -> int:
+    return ((v + m - 1) // m) * m
+
+
+def _hat_and_mask(iota, coord, lo, hi):
+    """Hat weights for clamped bilinear + in-range derivative mask.
+
+    coord: (1, P) raw pixel coord minus 0.5; clamped to [lo, hi].
+    Returns (weights (N, P) f32, dweights/dcoord (N, P) f32, clamp mask).
+    """
+    cl = jnp.clip(coord, jnp.float32(lo), jnp.float32(hi))
+    delta = iota - cl  # (N, P)
+    w = jnp.maximum(jnp.float32(0.0), jnp.float32(1.0) - jnp.abs(delta))
+    dw = jnp.where(
+        jnp.abs(delta) < jnp.float32(1.0), jnp.sign(delta), jnp.float32(0.0)
+    )
+    in_rng = jnp.logical_and(coord > lo, coord < hi).astype(jnp.float32)
+    return w, dw, in_rng
+
+
+def _flat_iotas(w: int, c: int):
+    """Static helpers over the flat (W*C) row axis: per-row source-column
+    index (k // c, as float) and per-channel one-hot masks (k % c == ci).
+
+    Keeps everything 2-D: reshaping (W*C, Wq) -> (W, C, Wq) in-kernel would
+    shrink the sublane dim to C=3 and force a Mosaic relayout.
+    """
+    k = jax.lax.broadcasted_iota(jnp.int32, (w * c, 1), 0)
+    col = (k // c).astype(jnp.float32)  # (W*C, 1)
+    ch_masks = [(k % c == ci).astype(jnp.float32) for ci in range(c)]
+    return col, ch_masks
+
+
+def _sample_kernel(imgT_ref, xy_ref, out_ref, *, h, w, c):
+    """Forward: out (1, C, RB, Wq) from imgT (1, W*C, H) and xy (1, 2, RB, Wq)."""
+    iota_h = jax.lax.broadcasted_iota(jnp.int32, (h, 1), 0).astype(jnp.float32)
+    col, ch_masks = _flat_iotas(w, c)
+    imgT = imgT_ref[0]  # (W*C, H) bf16
+    for r in range(ROW_BLOCK):
+        x = xy_ref[0, 0, r : r + 1, :] - jnp.float32(0.5)  # (1, Wq)
+        y = xy_ref[0, 1, r : r + 1, :] - jnp.float32(0.5)
+        ohT, _, _ = _hat_and_mask(iota_h, y, 0.0, h - 1.0)  # (H, Wq)
+        rowsT = jax.lax.dot_general(
+            imgT,
+            ohT.astype(imgT.dtype),
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (W*C, Wq) — y-interpolated flat columns
+        wxc, _, _ = _hat_and_mask(col, x, 0.0, w - 1.0)  # (W*C, Wq)
+        prod = rowsT * wxc
+        for ci in range(c):
+            out_ref[0, ci, r : r + 1, :] = jnp.sum(
+                prod * ch_masks[ci], axis=0, keepdims=True
+            )
+
+
+def _sample_bwd_kernel(imgT_ref, xy_ref, g_ref, dxy_ref, *, h, w, c):
+    """Backward: dcoords (1, 2, RB, Wq) from the output cotangent g."""
+    iota_h = jax.lax.broadcasted_iota(jnp.int32, (h, 1), 0).astype(jnp.float32)
+    col, ch_masks = _flat_iotas(w, c)
+    imgT = imgT_ref[0]
+    for r in range(ROW_BLOCK):
+        x = xy_ref[0, 0, r : r + 1, :] - jnp.float32(0.5)
+        y = xy_ref[0, 1, r : r + 1, :] - jnp.float32(0.5)
+        ohT, dohT, ymask = _hat_and_mask(iota_h, y, 0.0, h - 1.0)
+        wxc, dwxc, xmask = _hat_and_mask(col, x, 0.0, w - 1.0)
+        # Cotangent broadcast to the flat row axis: gflat[k, p] = g[k%c, p].
+        gflat = None
+        for ci in range(c):
+            term = ch_masks[ci] * g_ref[0, ci, r : r + 1, :]
+            gflat = term if gflat is None else gflat + term  # (W*C, Wq)
+
+        rowsT = jax.lax.dot_general(
+            imgT, ohT.astype(imgT.dtype), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        gx = jnp.sum(rowsT * gflat * dwxc, axis=0, keepdims=True)  # (1, Wq)
+
+        # y gradient through the y-lerp weights: drows/dy = imgT @ dohT.
+        dtT = jax.lax.dot_general(
+            imgT, dohT.astype(imgT.dtype), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        gy = jnp.sum(dtT * gflat * wxc, axis=0, keepdims=True)
+
+        dxy_ref[0, 0, r : r + 1, :] = gx * xmask
+        dxy_ref[0, 1, r : r + 1, :] = gy * ymask
+
+
+def _pad_queries(xy: jnp.ndarray):
+    """Pad (B, 2, Hq, Wq) queries to (ROW_BLOCK, 128) multiples."""
+    b, _, hq, wq = xy.shape
+    hp, wp = _round_up(hq, ROW_BLOCK), _round_up(wq, 128)
+    if (hp, wp) != (hq, wq):
+        xy = jnp.pad(xy, ((0, 0), (0, 0), (0, hp - hq), (0, wp - wq)))
+    return xy, hp, wp
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _sample_padded(imgT, xy, dims):
+    return _sample_fwd_call(imgT, xy, dims)
+
+
+def _sample_fwd_call(imgT, xy, dims):
+    h, w, c = dims
+    b, _, hp, wp = xy.shape
+    interpret = jax.default_backend() == "cpu"
+    kernel = functools.partial(_sample_kernel, h=h, w=w, c=c)
+    return pl.pallas_call(
+        kernel,
+        grid=(b, hp // ROW_BLOCK),
+        in_specs=[
+            pl.BlockSpec((1, w * c, h), lambda bi, yi: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2, ROW_BLOCK, wp), lambda bi, yi: (bi, 0, yi, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, c, ROW_BLOCK, wp), lambda bi, yi: (bi, 0, yi, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, c, hp, wp), jnp.float32),
+        interpret=interpret,
+    )(imgT, xy)
+
+
+def _sample_fwd(imgT, xy, dims):
+    return _sample_fwd_call(imgT, xy, dims), (imgT, xy)
+
+
+def _sample_bwd(dims, residual, g):
+    imgT, xy = residual
+    h, w, c = dims
+    b, _, hp, wp = xy.shape
+    interpret = jax.default_backend() == "cpu"
+    kernel = functools.partial(_sample_bwd_kernel, h=h, w=w, c=c)
+    dxy = pl.pallas_call(
+        kernel,
+        grid=(b, hp // ROW_BLOCK),
+        in_specs=[
+            pl.BlockSpec((1, w * c, h), lambda bi, yi: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2, ROW_BLOCK, wp), lambda bi, yi: (bi, 0, yi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c, ROW_BLOCK, wp), lambda bi, yi: (bi, 0, yi, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 2, ROW_BLOCK, wp), lambda bi, yi: (bi, 0, yi, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, 2, hp, wp), jnp.float32),
+        interpret=interpret,
+    )(imgT, xy, g)
+    return None, dxy  # image is data: no gradient
+
+
+_sample_padded.defvjp(_sample_fwd, _sample_bwd)
+
+
+def bilinear_sample_pallas(
+    image: jnp.ndarray, coords: jnp.ndarray
+) -> jnp.ndarray:
+    """Bilinear-sample ``image`` (B, H, W, C) at ``coords`` (B, Hq, Wq, 2).
+
+    Drop-in replacement for ``warp.bilinear_sample_gather`` (same border
+    clamp); differentiable in ``coords`` (image treated as data). The image
+    is quantized to bf16 for the MXU row-selection — exact for 8-bit-sourced
+    images.
+    """
+    b, h, w, c = image.shape
+    _, hq, wq, _ = coords.shape
+    # bf16 rows feed the MXU on TPU; CPU (interpret mode) keeps f32 so the
+    # kernel is bit-comparable to the gather reference in tests.
+    mm_dtype = (
+        jnp.bfloat16 if jax.default_backend() not in ("cpu",) else jnp.float32
+    )
+    imgT = jnp.swapaxes(
+        image.reshape(b, h, w * c), 1, 2
+    ).astype(mm_dtype)  # (B, W*C, H)
+    xy = jnp.moveaxis(coords, -1, 1)  # (B, 2, Hq, Wq)
+    xy, hp, wp = _pad_queries(xy)
+    out = _sample_padded(imgT, xy, (h, w, c))  # (B, C, hp, wp)
+    out = out[:, :, :hq, :wq]
+    return jnp.moveaxis(out, 1, -1)

@@ -158,3 +158,58 @@ def test_consistency_gradient_improves_pose(mano_model):
     assert l_true < l_wrong, (l_true, l_wrong)
     g = float(jax.grad(loss_at)(jnp.asarray(0.05)))
     assert np.isfinite(g) and g < 0  # pushes angle up toward 0.2
+
+def test_bilinear_sample_mm_matches_gather():
+    """The matmul formulation (TPU fast path) is bit-equivalent to the
+    gather formulation on CPU (f32 matmuls, one-hot row selection)."""
+    from hocon.render.warp import bilinear_sample_gather, bilinear_sample_mm
+
+    rng = np.random.default_rng(0)
+    img = jnp.asarray(rng.uniform(0, 1, (2, 24, 40, 3)), jnp.float32)
+    coords = jnp.asarray(
+        rng.uniform(-5, 45, (2, 17, 13, 2)), jnp.float32
+    )  # includes out-of-range -> border clamp on both paths
+    a = bilinear_sample_gather(img, coords)
+    m = bilinear_sample_mm(img, coords, block=256)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(m), atol=1e-5)
+
+
+def test_bilinear_sample_mm_grads_match_gather():
+    from hocon.render.warp import bilinear_sample_gather, bilinear_sample_mm
+
+    rng = np.random.default_rng(1)
+    img = jnp.asarray(rng.uniform(0, 1, (1, 16, 16, 3)), jnp.float32)
+    coords = jnp.asarray(rng.uniform(1.0, 15.0, (1, 8, 8, 2)), jnp.float32)
+
+    def loss_g(cc):
+        return jnp.sum(jnp.sin(bilinear_sample_gather(img, cc) * 3.0))
+
+    def loss_m(cc):
+        return jnp.sum(jnp.sin(bilinear_sample_mm(img, cc) * 3.0))
+
+    gg = jax.grad(loss_g)(coords)
+    gm = jax.grad(loss_m)(coords)
+    np.testing.assert_allclose(np.asarray(gg), np.asarray(gm), atol=1e-4)
+
+
+def test_bilinear_sample_pallas_matches_gather():
+    """Fused Pallas sampling kernel (interpret mode on CPU, f32) is exact
+    vs the gather reference, incl. border clamp and gradients."""
+    from hocon.render.sample_pallas import bilinear_sample_pallas
+    from hocon.render.warp import bilinear_sample_gather
+
+    rng = np.random.default_rng(2)
+    img = jnp.asarray(rng.uniform(0, 1, (2, 24, 40, 3)), jnp.float32)
+    coords = jnp.asarray(rng.uniform(-5, 45, (2, 17, 13, 2)), jnp.float32)
+    a = bilinear_sample_gather(img, coords)
+    p = bilinear_sample_pallas(img, coords)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(p), atol=1e-5)
+
+    c2 = jnp.asarray(rng.uniform(1.0, 20.0, (2, 17, 13, 2)), jnp.float32)
+
+    def loss(fn, cc):
+        return jnp.sum(jnp.sin(fn(img, cc) * 3.0))
+
+    gg = jax.grad(lambda cc: loss(bilinear_sample_gather, cc))(c2)
+    gp = jax.grad(lambda cc: loss(bilinear_sample_pallas, cc))(c2)
+    np.testing.assert_allclose(np.asarray(gg), np.asarray(gp), atol=1e-4)
