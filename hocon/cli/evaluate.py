@@ -38,7 +38,7 @@ def main(argv=None):
                         help="dir to write HO-3D pred.zip into")
     args = parser.parse_args(argv)
 
-    mano = opts.load_mano_or_synthetic(args.mano_assets)
+    mano = opts.load_mano_or_synthetic(args.mano_assets, getattr(args, "mano_side", "right"))
     mesh = make_mesh()
     ds = get_dataset(
         args.dataset, args.val_split, args.data_root, args.image_size,
@@ -65,8 +65,16 @@ def main(argv=None):
     eval_step = make_eval_step(model, mano)
 
     if args.dump_codalab:
+        # The submission must cover the FULL split exactly once: use an
+        # unsharded loader and write from process 0 only (the sharded loader
+        # above would make each process dump an incomplete, racy pred.json).
+        if jax.process_index() != 0:
+            return
+        dump_loader = BatchLoader(
+            ds, args.batch_size, shuffle=False, drop_last=False,
+        )
         all_joints, all_verts = [], []
-        for batch in loader.epoch(0):
+        for batch in dump_loader.epoch(0):
             keep = np.asarray(batch.pop("_valid", np.ones(1))) > 0
             preds = jax.device_get(eval_step(state, shard_batch(batch, mesh)))
             all_joints.append(preds["joints_cam"][keep])

@@ -68,6 +68,8 @@ def add_net_opts(p: argparse.ArgumentParser):
     g.add_argument("--obj_lambda_verts2d", type=float, default=0.0)
     g.add_argument("--mano_assets", default="assets/mano",
                    help="dir with MANO_RIGHT.pkl (synthetic fallback if absent)")
+    g.add_argument("--mano_side", default="right", choices=["right", "left"],
+                   help="hand side (left mirrors/loads MANO_LEFT.pkl)")
 
 
 def add_data_opts(p: argparse.ArgumentParser):
@@ -83,6 +85,10 @@ def add_data_opts(p: argparse.ArgumentParser):
     g.add_argument("--spacing", type=int, default=8,
                    help="max temporal offset for frame pairs")
     g.add_argument("--use_objects", action="store_true")
+    g.add_argument("--decimate_objects_to", type=int, default=0,
+                   help="vertex-clustering face budget for object meshes "
+                        "(0 = keep raw; real YCB/FPHAB meshes need ~1-2k "
+                        "for the rasterizer)")
     g.add_argument("--synth_videos", type=int, default=8)
     g.add_argument("--synth_frames", type=int, default=8)
 
@@ -106,19 +112,30 @@ def add_warp_opts(p: argparse.ArgumentParser):
                         "annotated ref + clip_len-1 targets)")
 
 
-def load_mano_or_synthetic(assets_dir: str):
-    """Load user-supplied MANO assets, else the synthetic stand-in."""
+def load_mano_or_synthetic(assets_dir: str, side: str = "right"):
+    """Load user-supplied MANO assets, else the synthetic stand-in.
+
+    ``side``: "left" loads MANO_LEFT.pkl when present, else mirrors the
+    right model (exact equivalent — see ``mirror_mano_model``).
+    """
     import os
 
-    path = os.path.join(assets_dir, "MANO_RIGHT.pkl")
+    from hocon.geometry.mano import (
+        load_mano_model,
+        mirror_mano_model,
+        synthetic_mano_model,
+    )
+
+    fname = "MANO_LEFT.pkl" if side == "left" else "MANO_RIGHT.pkl"
+    path = os.path.join(assets_dir, fname)
     if os.path.exists(path):
-        from hocon.geometry.mano import load_mano_model
-
-        return load_mano_model(path, side="right")
-    from hocon.geometry.mano import synthetic_mano_model
-
+        return load_mano_model(path, side=side)
+    right_path = os.path.join(assets_dir, "MANO_RIGHT.pkl")
+    if side == "left" and os.path.exists(right_path):
+        return mirror_mano_model(load_mano_model(right_path, side="right"))
     print(
         f"[hocon] MANO assets not found at {path}; using the synthetic "
         "stand-in model (tests/benchmarks only — download MANO for real runs)"
     )
-    return synthetic_mano_model(0)
+    model = synthetic_mano_model(0)
+    return mirror_mano_model(model) if side == "left" else model

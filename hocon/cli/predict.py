@@ -37,7 +37,7 @@ def main(argv=None):
     parser.add_argument("--out", default="preds", help="output directory")
     args = parser.parse_args(argv)
 
-    mano = opts.load_mano_or_synthetic(args.mano_assets)
+    mano = opts.load_mano_or_synthetic(args.mano_assets, getattr(args, "mano_side", "right"))
     mesh = make_mesh()
     ds = get_dataset(
         args.dataset, args.val_split, args.data_root, args.image_size,

@@ -62,7 +62,7 @@ def obj_lambdas(args):
 
 
 def setup_common(args):
-    mano = opts.load_mano_or_synthetic(args.mano_assets)
+    mano = opts.load_mano_or_synthetic(args.mano_assets, getattr(args, "mano_side", "right"))
     run_dir = os.path.join("checkpoints", args.exp_id)
     save_args(args, run_dir)
     writer = MetricWriter(run_dir)
@@ -76,7 +76,23 @@ def setup_common(args):
         pair_spacing=args.spacing, train=True, mano=mano, seed=args.seed,
         center_idx=args.center_idx,
         synth_videos=args.synth_videos, synth_frames=args.synth_frames,
+        decimate_objects_to=getattr(args, "decimate_objects_to", 0),
     )
+    if getattr(args, "pair_mode", False) and getattr(args, "consist_gt_refs", False):
+        from hocon.data.queries import BaseQueries
+
+        pose_ds = train_ds.pose_dataset
+        if (
+            hasattr(pose_ds, "available_queries")
+            and BaseQueries.VERTS3D not in pose_ds.available_queries()
+        ):
+            print(
+                "[hocon] WARNING: --consist_gt_refs requested but the "
+                f"{type(pose_ds).__name__} dataset serves no GT hand "
+                "vertices (no MANO fits found); the warp will anchor on "
+                "PREDICTED ref meshes instead (weaker, not the reference "
+                "--consist_gt_refs protocol)."
+            )
     val_ds = get_dataset(
         args.dataset, args.val_split, args.data_root, args.image_size,
         use_objects=args.use_objects, train=False, mano=mano, seed=args.seed,

@@ -30,13 +30,15 @@ def get_dataset(
     center_idx: int = 9,
     synth_videos: int = 8,
     synth_frames: int = 8,
+    decimate_objects_to: int = 0,
 ) -> HandDataset:
     if name in ("fhbhands", "fphab"):
         from hocon.data.fphab import FPHAB
 
         pose_ds = FPHAB(
             root, split=split, fraction=fraction, use_objects=use_objects,
-            pair_spacing=pair_spacing,
+            pair_spacing=pair_spacing, mano=mano,
+            decimate_objects_to=decimate_objects_to or None,
         )
     elif name in ("ho3dv2", "ho3d"):
         from hocon.data.ho3d import HO3D
@@ -44,6 +46,7 @@ def get_dataset(
         pose_ds = HO3D(
             root, split=split, fraction=fraction, use_objects=use_objects,
             pair_spacing=pair_spacing, mano=mano,
+            decimate_objects_to=decimate_objects_to or None,
         )
     elif name == "synthetic":
         from hocon.data.synthetic import SyntheticHandDataset

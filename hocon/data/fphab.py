@@ -151,11 +151,46 @@ def load_ply(path: str) -> tuple[np.ndarray, np.ndarray]:
         return verts, faces
 
 
+def load_mano_fits(path: str) -> dict[int, dict]:
+    """Load per-sequence precomputed MANO fits.
+
+    ``fits.pkl`` maps ``frame_idx -> {"pose": (48,) axis-angle incl. root,
+    "shape"|"betas": (10,), "trans": (3,) meters}`` in the COLOR-CAMERA
+    frame (the frame every label in this codebase lives in). The reference
+    distributes precomputed fits ("fhbhands_fits") that enable hand-VERTEX
+    supervision and GT-mesh warp anchors on FPHAB
+    ([pub:meshreg/datasets/fhbhands.py]); the exact on-disk layout must be
+    re-verified against the real download (SURVEY.md provenance warning) —
+    only this loader changes when it is.
+    """
+    import pickle
+
+    with open(path, "rb") as f:
+        raw = pickle.load(f, encoding="latin1")
+    out = {}
+    for k, v in raw.items():
+        out[int(k)] = {
+            "pose": np.asarray(v["pose"], np.float32).reshape(48),
+            "betas": np.asarray(
+                v.get("betas", v.get("shape")), np.float32
+            ).reshape(10),
+            "trans": np.asarray(v.get("trans", np.zeros(3)), np.float32),
+        }
+    return out
+
+
 def _mark_supervised(
     n_frames_per_seq: list[int], fraction: float, seed: int = 0
 ) -> np.ndarray:
     """Per-frame supervision mask: ~fraction of frames per sequence, evenly
-    spaced, always including frame 0 (reference --fraction semantics)."""
+    spaced, always including frame 0.
+
+    VERIFY (reference tree unreadable, SURVEY.md preamble): the reference's
+    exact --fraction sampling protocol is unconfirmed — evenly-spaced with
+    frame 0 annotated is the natural reading, but at very small fractions
+    (0.65%) a different scheme (random per-seq, global stride) can differ
+    materially. Re-derive from [pub:meshreg/datasets/fhbhands.py] when
+    available."""
     flags = []
     step = max(1, int(round(1.0 / max(fraction, 1e-6))))
     for n in n_frames_per_seq:
@@ -176,15 +211,24 @@ class FPHAB:
         use_objects: bool = False,
         pair_spacing: int = 8,
         decimate_objects_to: Optional[int] = None,
+        mano=None,
     ):
+        """``mano``: optional ManoModel — when given AND precomputed MANO
+        fits exist under ``root/fhbhands_fits/``, GT hand VERTICES are
+        computed per frame (vertex supervision + GT-ref photometric warps,
+        the reference FPHAB protocol). ``decimate_objects_to``: face budget
+        for object meshes (vertex-clustering decimation; the rasterizer is
+        swept at ~1-2k faces)."""
         self.root = root
         self.split = split
         self.pair_spacing = pair_spacing
+        self.mano = mano
         subjects = TRAIN_SUBJECTS if split == "train" else TEST_SUBJECTS
 
         skel_root = os.path.join(root, "Hand_pose_annotation_v1")
         video_root = os.path.join(root, "Video_files")
         obj_pose_root = os.path.join(root, "Object_6D_pose_annotation_v1_1")
+        fits_root = os.path.join(root, "fhbhands_fits")
 
         self.objects = {}
         if use_objects:
@@ -194,6 +238,12 @@ class FPHAB:
                 )
                 if os.path.exists(ply):
                     verts, faces = load_ply(ply)
+                    if decimate_objects_to:
+                        from hocon.data.meshes import decimate_mesh
+
+                        verts, faces = decimate_mesh(
+                            verts, faces, decimate_objects_to
+                        )
                     self.objects[name] = (verts / 1000.0, faces)  # mm -> m
 
         self.samples = []  # (img_path, joints_cam_m (21,3), obj_name, obj_pose)
@@ -212,6 +262,13 @@ class FPHAB:
                     if not os.path.exists(skel_path):
                         continue
                     skels = load_skeletons(skel_path)
+                    fits = {}
+                    if mano is not None:
+                        fit_pkl = os.path.join(
+                            fits_root, subject, action, seq, "fits.pkl"
+                        )
+                        if os.path.exists(fit_pkl):
+                            fits = load_mano_fits(fit_pkl)
                     obj_poses = {}
                     obj_name = OBJECT_ACTIONS.get(action)
                     if use_objects and obj_name in self.objects:
@@ -236,6 +293,7 @@ class FPHAB:
                                 joints3d_cam=cam_mm / 1000.0,
                                 obj_name=obj_name if obj_poses else None,
                                 obj_pose_world=obj_poses.get(frame_idx),
+                                mano_fit=fits.get(frame_idx),
                                 seq_id=(subject, action, seq),
                                 frame_idx=frame_idx,
                             )
@@ -261,8 +319,44 @@ class FPHAB:
               BaseQueries.CAMINTR, BaseQueries.SIDE, BaseQueries.CENTER3D}
         if self.objects:
             qs |= {BaseQueries.OBJVERTS3D, BaseQueries.OBJVERTSCAN,
-                   BaseQueries.OBJFACES, BaseQueries.OBJPOSE}
+                   BaseQueries.OBJFACES, BaseQueries.OBJPOSE,
+                   BaseQueries.OBJCORNERS}
+        if self.mano is not None and any(
+            s.get("mano_fit") is not None for s in self.samples
+        ):
+            qs.add(BaseQueries.VERTS3D)
         return qs
+
+    def _mano_verts(self, fit: dict) -> np.ndarray:
+        """Camera-frame hand vertices (meters) from a precomputed MANO fit."""
+        import jax
+        import jax.numpy as jnp
+
+        from hocon.geometry.mano import mano_forward
+
+        if not hasattr(self, "_mano_fwd"):
+
+            @jax.jit
+            def fwd(pose, betas, trans):
+                v, _ = mano_forward(
+                    self.mano,
+                    pose[None, 3:],
+                    betas[None],
+                    pose[None, :3],
+                    trans=trans[None],
+                    use_pca=False,  # fits store full 45-dof axis-angle
+                    flat_hand_mean=False,
+                    scale_mm=False,
+                )
+                return v[0]
+
+            self._mano_fwd = fwd
+        return np.asarray(
+            self._mano_fwd(
+                jnp.asarray(fit["pose"]), jnp.asarray(fit["betas"]),
+                jnp.asarray(fit["trans"]),
+            )
+        ).astype(np.float32)
 
     def __len__(self):
         return len(self.samples)
@@ -272,7 +366,11 @@ class FPHAB:
         out = {
             "image_path": s["image_path"],
             "joints3d_cam": s["joints3d_cam"].astype(np.float32),
-            "verts3d_cam": None,
+            "verts3d_cam": (
+                self._mano_verts(s["mano_fit"])
+                if self.mano is not None and s.get("mano_fit") is not None
+                else None
+            ),
             "camintr": CAM_INTR,
             "obj_verts_can": None,
             "obj_faces": None,

@@ -171,6 +171,18 @@ class HandDataset:
             faces_pad = np.zeros((cfg.max_obj_faces, 3), np.int32)
             nf = min(len(faces), cfg.max_obj_faces)
             faces_pad[:nf] = faces[:nf]
+            # Object bbox corners (the HO-3D corner-error metric): canonical
+            # corners from the REAL (unpadded) vertices, posed like the mesh.
+            from hocon.data.meshes import bbox_corners
+
+            corners_can = bbox_corners(can[:nv])
+            corners_cam = (
+                corners_can @ pose[:3, :3].T + pose[:3, 3]
+            ) @ rotz.T
+            out[TransQueries.OBJCORNERSCAN.value] = corners_can
+            out[TransQueries.OBJCORNERS.value] = (
+                (corners_cam - center3d) * 1000.0
+            ).astype(np.float32)
             out[TransQueries.OBJVERTSCAN.value] = can_pad
             out["obj_faces"] = faces_pad
             out["obj_nverts"] = np.int32(nv)

@@ -52,6 +52,7 @@ class HO3D:
         use_objects: bool = False,
         pair_spacing: int = 8,
         mano=None,
+        decimate_objects_to: Optional[int] = None,
     ):
         """``mano``: optional ManoModel — when given, GT hand VERTICES are
         computed from the per-frame MANO fits in the train-split metas
@@ -62,6 +63,7 @@ class HO3D:
         self.pair_spacing = pair_spacing
         self.use_objects = use_objects
         self.mano = mano
+        self.decimate_objects_to = decimate_objects_to
         self.ycb_root = ycb_root or os.path.join(root, "models_root")
 
         split_dir = "train" if split == "train" else "evaluation"
@@ -116,9 +118,12 @@ class HO3D:
 
         qs = {BaseQueries.IMAGE, BaseQueries.JOINTS2D, BaseQueries.JOINTS3D,
               BaseQueries.CAMINTR, BaseQueries.SIDE, BaseQueries.CENTER3D}
+        if self.mano is not None and self.split == "train":
+            qs.add(BaseQueries.VERTS3D)
         if self.use_objects:
             qs |= {BaseQueries.OBJVERTS3D, BaseQueries.OBJVERTSCAN,
-                   BaseQueries.OBJFACES, BaseQueries.OBJPOSE}
+                   BaseQueries.OBJFACES, BaseQueries.OBJPOSE,
+                   BaseQueries.OBJCORNERS}
         return qs
 
     def __len__(self):
@@ -130,6 +135,12 @@ class HO3D:
             obj_path = os.path.join(base, "textured_simple.obj")
             if os.path.exists(obj_path):
                 verts, faces = _load_obj(obj_path)
+                if self.decimate_objects_to:
+                    from hocon.data.meshes import decimate_mesh
+
+                    verts, faces = decimate_mesh(
+                        verts, faces, self.decimate_objects_to
+                    )
             else:
                 verts = load_xyz_points(os.path.join(base, "points.xyz"))
                 faces = None

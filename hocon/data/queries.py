@@ -18,6 +18,7 @@ class BaseQueries(str, enum.Enum):
     JOINTS3D = "base_joints3d"
     VERTS3D = "base_verts3d"
     OBJVERTS3D = "base_objverts3d"
+    OBJCORNERS = "base_objcorners"
     OBJVERTSCAN = "base_objverts_can"
     OBJFACES = "base_objfaces"
     OBJPOSE = "base_objpose"
@@ -32,6 +33,8 @@ class TransQueries(str, enum.Enum):
     JOINTS3D = "joints3d"  # root-centered mm
     VERTS3D = "verts3d"  # root-centered mm
     OBJVERTS3D = "objverts3d"  # root-centered mm
+    OBJCORNERS = "objcorners3d"  # posed bbox corners, root-centered mm
+    OBJCORNERSCAN = "obj_corners_can"  # canonical bbox corners, meters
     OBJVERTSCAN = "obj_verts_can"  # canonical, meters
     CAMINTR = "camintr"  # crop-adjusted intrinsics
     CENTER3D = "center3d"  # hand center in camera frame, meters

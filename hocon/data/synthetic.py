@@ -158,7 +158,8 @@ class SyntheticHandDataset:
               BaseQueries.CENTER3D}
         if self.with_object:
             qs |= {BaseQueries.OBJVERTS3D, BaseQueries.OBJVERTSCAN,
-                   BaseQueries.OBJFACES, BaseQueries.OBJPOSE}
+                   BaseQueries.OBJFACES, BaseQueries.OBJPOSE,
+                   BaseQueries.OBJCORNERS}
         return qs
 
     def __len__(self):

@@ -138,7 +138,13 @@ def load_mano_model(path: str, side: str = "right") -> ManoModel:
     """Load official MANO assets (chumpy-free) into a :class:`ManoModel`."""
     raw = _chumpy_free_load(path)
     f32 = lambda k: jnp.asarray(_to_dense(raw[k]), dtype=jnp.float32)
-    shapedirs = jnp.asarray(_to_dense(raw["shapedirs"]), dtype=jnp.float32)
+    shapedirs = np.asarray(_to_dense(raw["shapedirs"]), dtype=np.float32)
+    if side == "left":
+        # Known MANO_LEFT.pkl asset bug: the x-components of shapedirs carry
+        # the right-hand sign (manopth manolayer.py applies the same fix —
+        # re-verify against the reference tree when mounted).
+        shapedirs = shapedirs * np.array([-1.0, 1.0, 1.0], np.float32)[None, :, None]
+    shapedirs = jnp.asarray(shapedirs)
     return ManoModel(
         v_template=f32("v_template"),
         shapedirs=shapedirs,
@@ -224,6 +230,59 @@ def synthetic_mano_model(seed: int = 0, side: str = "right") -> ManoModel:
         hands_mean=jnp.asarray(hands_mean),
         faces=jnp.asarray(faces),
         side=side,
+    )
+
+
+def mirror_mano_model(model: ManoModel) -> ManoModel:
+    """Mirror a MANO model across the x=0 plane (right <-> left hand).
+
+    manopth's left-hand support lives entirely in the assets (MANO_LEFT.pkl
+    stores the left template/blendshapes; the forward math is identical) —
+    this builds those left assets from a right model by conjugating every
+    quantity with the reflection M = diag(-1, 1, 1):
+
+      * positions (template, shape blendshapes' x-rows) flip sign in x;
+      * axis-angle vectors a map to (a_x, -a_y, -a_z) (conjugation of the
+        rotation by M: exp([a']x) = M exp([a]x) M) — applied to hands_mean
+        and each 3-dof segment of hands_components;
+      * pose blendshapes see features vec(R-I) -> vec(M (R-I) M), so entry
+        (i, k) of each per-joint 3x3 picks up sign m_i * m_k, and the output
+        displacement row flips in x;
+      * face winding reverses so normals stay outward.
+
+    ``mano_forward`` on the mirrored model with mirrored inputs
+    (global_rot' = (r_x, -r_y, -r_z), trans' = M trans) produces exactly
+    M verts / M joints of the right-hand forward — the oracle property the
+    tests assert.
+    """
+    m = np.array([-1.0, 1.0, 1.0], np.float32)
+    aa_flip = np.array([1.0, -1.0, -1.0], np.float32)  # axis-angle conj by M
+
+    v_template = np.asarray(model.v_template) * m
+    shapedirs = np.asarray(model.shapedirs) * m[None, :, None]
+
+    # posedirs (V, 3, 135): feature sign s[i*3+k] = m_i * m_k per joint 3x3;
+    # output row d flips with m_d.
+    s9 = np.outer(m, m).reshape(9)
+    s135 = np.tile(s9, 15)
+    posedirs = np.asarray(model.posedirs) * m[None, :, None] * s135[None, None, :]
+
+    flip45 = np.tile(aa_flip, 15)
+    hands_mean = np.asarray(model.hands_mean) * flip45
+    hands_components = np.asarray(model.hands_components) * flip45[None, :]
+
+    faces = np.asarray(model.faces)[:, ::-1].copy()
+
+    return ManoModel(
+        v_template=jnp.asarray(v_template),
+        shapedirs=jnp.asarray(shapedirs),
+        posedirs=jnp.asarray(posedirs),
+        joint_regressor=model.joint_regressor,
+        skin_weights=model.skin_weights,
+        hands_components=jnp.asarray(hands_components),
+        hands_mean=jnp.asarray(hands_mean),
+        faces=jnp.asarray(faces),
+        side="left" if model.side == "right" else "right",
     )
 
 

@@ -9,7 +9,7 @@ only stacks numpy arrays and places them with the batch sharding.
 
 from __future__ import annotations
 
-from typing import Callable, Optional
+from typing import Callable, Optional, Sequence
 
 import jax
 import numpy as np
@@ -30,6 +30,7 @@ def epoch_pass(
     max_steps: Optional[int] = None,
     vis_fn: Optional[Callable] = None,
     vis_freq: int = 0,
+    pck_thresholds: Sequence[float] = (15.0, 30.0, 45.0),
 ) -> tuple:
     """Run one epoch. Returns (state, metrics dict).
 
@@ -41,6 +42,7 @@ def epoch_pass(
     timer = StepTimer()
     evaluator = EvalUtil() if not train else None
     obj_meter = VertexErrorMeter() if not train else None
+    corner_meter = VertexErrorMeter() if not train else None
 
     for i, batch in enumerate(loader.epoch(epoch)):
         if max_steps is not None and i >= max_steps:
@@ -75,6 +77,11 @@ def epoch_pass(
                     preds["obj_verts_c_mm"][keep],
                     ovm,
                 )
+            if "obj_corners_c_mm" in preds and "objcorners3d" in batch:
+                corner_meter.feed(
+                    np.asarray(batch["objcorners3d"])[keep],
+                    preds["obj_corners_c_mm"][keep],
+                )
             if vis_fn is not None and vis_freq and i % vis_freq == 0:
                 vis_fn(epoch, i, jax.device_get(batch), preds)
         timer.tick()
@@ -86,12 +93,17 @@ def epoch_pass(
         metrics.update(
             mpjpe_mm=epe_mean, mpjpe_median_mm=epe_med, auc=auc,
         )
-        # PCK curve samples (reference reports the curve alongside AUC).
-        for t, p in zip(np.asarray(thresh), np.asarray(pck)):
-            if round(float(t), 1) in (15.8, 28.9, 44.7):
-                metrics[f"pck@{t:.1f}mm"] = float(p)
+        # PCK curve samples (reference reports the curve alongside AUC):
+        # interpolate the measured curve at the requested thresholds so the
+        # report never silently depends on the linspace step.
+        thresh = np.asarray(thresh, np.float64)
+        pck = np.asarray(pck, np.float64)
+        for t in pck_thresholds:
+            metrics[f"pck@{float(t):.1f}mm"] = float(np.interp(t, thresh, pck))
         if obj_meter is not None and obj_meter._count:
             metrics["obj_verts_err_mm"] = obj_meter.mean
+        if corner_meter is not None and corner_meter._count:
+            metrics["obj_corners_err_mm"] = corner_meter.mean
     if writer is not None:
         writer.log_epoch(epoch, "train" if train else "val", metrics)
     return state, metrics

@@ -252,6 +252,17 @@ def make_eval_step(model, mano) -> Callable:
         }
         if "obj_verts_c_mm" in out:
             preds["obj_verts_c_mm"] = out["obj_verts_c_mm"]
+            if "obj_corners_can" in batch:
+                # Predicted corners: the predicted 6-DoF pose applied to the
+                # canonical bbox corners (HO-3D corner-error metric).
+                from hocon.geometry.project import transform_points
+
+                corners_cam = transform_points(
+                    batch["obj_corners_can"], out["obj_rot"], out["obj_trans"]
+                )
+                preds["obj_corners_c_mm"] = (
+                    corners_cam - out["center_cam"]
+                ) * 1000.0
         return preds
 
     return step

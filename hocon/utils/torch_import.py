@@ -84,6 +84,114 @@ def import_resnet_trunk(
     return params, batch_stats
 
 
+# --------------------------------------------------------------------------
+# Full-model import (reference MeshRegNet checkpoint -> HOCNet variables).
+#
+# The reference's head layout ([pub:meshreg/models/manobranch.py] /
+# absolutebranch.py / meshregnet.py): each branch is a shared base MLP
+# (nn.Sequential of Linear+ReLU) followed by per-output Linear regressors.
+# HOCNet uses SEPARATE per-output MLPs, so the shared base weights are
+# DUPLICATED into each consumer MLP — functionally identical (the reference
+# computes every regressor from the same base features).
+#
+# Exact torch key names are encoded as a declarative NAME TABLE below; they
+# are best-effort reconstructions (the reference tree was empty — SURVEY.md
+# provenance warning) and re-verifying them is a one-table change.
+#
+# ``bias_offset`` entries fold architectural deltas into the import: our
+# Absolute/ObjPose heads add a constant z_init to the network output, so
+# the imported final-layer bias is shifted by -z_init to keep the composed
+# function identical to the reference's raw regression.
+# --------------------------------------------------------------------------
+
+_Z_INIT = 0.6  # AbsoluteHead/ObjPoseHead z_init default
+
+
+def default_head_table(ncomps: int = 15) -> list:
+    """[(flax_path, torch_prefix, bias_offset|None), ...] for HOCNet heads."""
+    del ncomps  # shapes come from the arrays; kept for future variants
+    zoff = np.array([0.0, 0.0, -_Z_INIT], np.float32)
+    return [
+        (("mano_head", "pose_mlp", "Dense_0"), "mano_branch.base_layer.0", None),
+        (("mano_head", "pose_mlp", "Dense_1"), "mano_branch.base_layer.2", None),
+        (("mano_head", "pose_mlp", "Dense_2"), "mano_branch.pose_reg", None),
+        (("mano_head", "shape_mlp", "Dense_0"), "mano_branch.base_layer.0", None),
+        (("mano_head", "shape_mlp", "Dense_1"), "mano_branch.base_layer.2", None),
+        (("mano_head", "shape_mlp", "Dense_2"), "mano_branch.shape_reg", None),
+        (("absolute_head", "trans_mlp", "Dense_0"),
+         "absolute_branch.base_layer.0", None),
+        (("absolute_head", "trans_mlp", "Dense_1"),
+         "absolute_branch.final_layer", zoff),
+        (("obj_head", "objtrans_mlp", "Dense_0"),
+         "obj_branch.base_layer.0", None),
+        (("obj_head", "objtrans_mlp", "Dense_1"), "obj_branch.trans_reg", zoff),
+        (("obj_head", "objrot_mlp", "Dense_0"), "obj_branch.base_layer.0", None),
+        (("obj_head", "objrot_mlp", "Dense_1"), "obj_branch.rot_reg", None),
+    ]
+
+
+def _set_linear(params: dict, path: tuple, w: np.ndarray, b: np.ndarray,
+                bias_offset=None) -> None:
+    node = params
+    for key in path[:-1]:
+        node = node[key]
+    leaf = node[path[-1]]
+    kernel = np.transpose(np.asarray(w)).astype(np.float32)  # (out,in)->(in,out)
+    bias = np.asarray(b, np.float32)
+    if bias_offset is not None:
+        bias = bias + np.asarray(bias_offset, np.float32)
+    if leaf["kernel"].shape != kernel.shape:
+        raise ValueError(
+            f"shape mismatch at {'/'.join(path)}: flax {leaf['kernel'].shape} "
+            f"vs torch {kernel.shape}"
+        )
+    leaf["kernel"] = kernel
+    leaf["bias"] = bias
+
+
+def import_hocnet(
+    variables: dict,
+    state_dict: Mapping[str, np.ndarray],
+    trunk_prefix: str = "base_net.",
+    head_table: list | None = None,
+    stage_sizes=(2, 2, 2, 2),
+    strict_heads: bool = True,
+) -> dict:
+    """Import a full reference MeshRegNet checkpoint into HOCNet variables.
+
+    Covers trunk + Mano/Absolute/object heads via :func:`default_head_table`
+    (override ``head_table`` when the real key names differ — that is the
+    only thing that should need changing). With ``strict_heads=False``,
+    head entries whose torch keys are absent are skipped (e.g. a hand-only
+    checkpoint into a hand+object model).
+
+    Note: the object ROTATION import requires ``obj_rot_param='axisang'``
+    (the reference regresses axis-angle; the default 6d head has a
+    different output width and will raise a shape mismatch).
+    """
+    import copy
+
+    variables = import_trunk_into_hocnet(
+        variables, state_dict, prefix=trunk_prefix, stage_sizes=stage_sizes
+    )
+    params = copy.deepcopy(dict(variables["params"]))
+    table = head_table if head_table is not None else default_head_table()
+    for flax_path, torch_prefix, bias_offset in table:
+        head = flax_path[0]
+        if head not in params:
+            continue  # model variant without this head (e.g. no object)
+        wk, bk = torch_prefix + ".weight", torch_prefix + ".bias"
+        if wk not in state_dict or bk not in state_dict:
+            if strict_heads:
+                raise KeyError(f"missing torch keys {wk!r}/{bk!r}")
+            continue
+        _set_linear(params, flax_path, state_dict[wk], state_dict[bk],
+                    bias_offset)
+    out = dict(variables)
+    out["params"] = params
+    return out
+
+
 def load_torch_checkpoint(path: str) -> dict:
     """Load a torch .pth/.pt checkpoint to {name: numpy} (CPU, no grads)."""
     import torch

@@ -1,0 +1,179 @@
+"""Decompose the warp train step cost on the real TPU.
+
+Times each stage in isolation (chained K-step loops between host syncs —
+the only reliable methodology over the axon tunnel, see CLAUDE.md):
+  - supervised-only train step (trunk fwd/bwd + MANO + losses + Adam)
+  - raster forward (hand+object planes, 256^2)
+  - raster forward+backward (grad w.r.t. verts)
+  - bilinear warp sampling fwd+bwd
+  - SSIM fwd+bwd
+  - full warp step (the bench number)
+
+Usage: python scripts/profile_step.py [--res 256] [--batch 16]
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+
+import numpy as np
+
+
+def timeit(fn, args, steps=30, warmup=3):
+    import jax
+
+    out = None
+    for _ in range(warmup):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / steps
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--res", type=int, default=256)
+    p.add_argument("--batch", type=int, default=16)
+    p.add_argument("--steps", type=int, default=30)
+    args = p.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from hocon.data.factory import get_dataset
+    from hocon.data.pipeline import BatchLoader
+    from hocon.geometry.mano import synthetic_mano_model
+    from hocon.geometry.project import persp_project
+    from hocon.models.hocnet import HOCNet
+    from hocon.render.raster import face_planes, normalize_depth, soft_rasterize
+    from hocon.render.ssim import ssim
+    from hocon.render.warp import bilinear_sample
+    from hocon.train.state import create_train_state, make_optimizer
+    from hocon.train.steps import make_train_step, make_warp_train_step
+
+    res, b = args.res, args.batch
+    print(f"devices: {jax.devices()}")
+
+    mano = synthetic_mano_model(0)
+    ds = get_dataset(
+        "synthetic", "train", image_size=res, use_objects=True, train=True,
+        mano=mano, pair_mode=True, fraction=0.25, synth_videos=2,
+        synth_frames=16, seed=0,
+    )
+    loader = BatchLoader(ds, batch_size=b, seed=0, drop_last=False)
+    batch = next(iter(loader))
+
+    model = HOCNet(with_object=True, freeze_batchnorm=True, dtype=jnp.bfloat16)
+    optimizer = make_optimizer("adam", 1e-4)
+    state = create_train_state(
+        model, mano, optimizer, batch["ref"], jax.random.PRNGKey(0)
+    )
+
+    # --- full warp step ---
+    warp_step = make_warp_train_step(
+        model, mano, optimizer, image_size=(res, res), backend="auto"
+    )
+    t = timeit(lambda s, bt: warp_step(s, bt)[0].params, (state, batch),
+               steps=args.steps)
+    print(f"full warp step:        {t * 1e3:8.2f} ms  "
+          f"({b / t:.1f} pairs/s)")
+
+    # --- supervised-only step ---
+    sup_step = make_train_step(model, mano, optimizer)
+    t = timeit(lambda s, bt: sup_step(s, bt)[0].params, (state, batch["ref"]),
+               steps=args.steps)
+    print(f"supervised step:       {t * 1e3:8.2f} ms")
+
+    # --- raster fwd / fwd+bwd on representative mesh ---
+    rng = np.random.default_rng(0)
+    n_hand = 778
+    hand = jnp.asarray(
+        rng.uniform(-0.08, 0.08, (b, n_hand, 3)), jnp.float32
+    ) + jnp.asarray([0.0, 0.0, 0.5])
+    faces_h = np.asarray(mano.faces)
+    obj = jnp.asarray(rng.uniform(-0.05, 0.05, (b, 8, 3)), jnp.float32) + jnp.asarray(
+        [0.0, 0.0, 0.55]
+    )
+    faces_o = np.asarray(
+        [[0, 1, 2], [0, 2, 3], [4, 5, 6], [4, 6, 7], [0, 1, 5], [0, 5, 4],
+         [2, 3, 7], [2, 7, 6], [1, 2, 6], [1, 6, 5], [0, 3, 7], [0, 7, 4]],
+        np.int32,
+    )
+    verts = jnp.concatenate([hand, obj], axis=1)
+    faces = np.concatenate([faces_h, faces_o + n_hand])
+    faces_b = jnp.broadcast_to(
+        jnp.asarray(faces)[None], (b,) + faces.shape
+    )
+    k = jnp.tile(
+        jnp.asarray(
+            [[220.0, 0, res / 2], [0, 220.0, res / 2], [0, 0, 1.0]], jnp.float32
+        )[None],
+        (b, 1, 1),
+    )
+    pix = persp_project(verts, k)
+    zs = verts[..., 2]
+    attrs = pix  # flow-texture channels, like the warp loss
+
+    @jax.jit
+    def raster_fwd(pix, zs, attrs):
+        out = soft_rasterize(
+            pix, zs, faces_b, attrs=attrs, image_size=(res, res),
+            backend="auto",
+        )
+        return out.sil.sum() + out.attr.sum() + out.vis.sum()
+
+    t = timeit(raster_fwd, (pix, zs, attrs), steps=args.steps)
+    print(f"raster fwd:            {t * 1e3:8.2f} ms")
+
+    @jax.jit
+    def raster_fwdbwd(pix, zs, attrs):
+        return jax.grad(
+            lambda p, z, a: raster_fwd(p, z, a).astype(jnp.float32),
+            argnums=(0, 1, 2),
+        )(pix, zs, attrs)
+
+    t = timeit(raster_fwdbwd, (pix, zs, attrs), steps=args.steps)
+    print(f"raster fwd+bwd:        {t * 1e3:8.2f} ms")
+
+    # --- plane prep cost alone (fwd) ---
+    @jax.jit
+    def prep(pix, zs, attrs):
+        planes = face_planes(pix, normalize_depth(zs), faces_b, attrs)
+        return planes.rows.sum()
+
+    t = timeit(prep, (pix, zs, attrs), steps=args.steps)
+    print(f"plane prep (fwd only): {t * 1e3:8.2f} ms")
+
+    # --- bilinear sampling fwd+bwd ---
+    img = jnp.asarray(rng.uniform(0, 1, (b, res, res, 3)), jnp.float32)
+    coords = jnp.asarray(
+        rng.uniform(0, res, (b, res, res, 2)), jnp.float32
+    )
+
+    @jax.jit
+    def samp_fwdbwd(img, coords):
+        return jax.grad(
+            lambda i, c: bilinear_sample(i, c).sum(), argnums=(0, 1)
+        )(img, coords)
+
+    t = timeit(samp_fwdbwd, (img, coords), steps=args.steps)
+    print(f"bilinear fwd+bwd:      {t * 1e3:8.2f} ms")
+
+    # --- SSIM fwd+bwd ---
+    img2 = jnp.asarray(rng.uniform(0, 1, (b, res, res, 3)), jnp.float32)
+    mask = jnp.ones((b, res, res), jnp.float32)
+
+    @jax.jit
+    def ssim_fwdbwd(a, c):
+        return jax.grad(lambda x, y: jnp.sum(ssim(x, y)))(a, c)
+
+    t = timeit(ssim_fwdbwd, (img, img2), steps=args.steps)
+    print(f"ssim fwd+bwd:          {t * 1e3:8.2f} ms")
+
+
+if __name__ == "__main__":
+    main()

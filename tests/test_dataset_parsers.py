@@ -178,6 +178,100 @@ def test_ho3d_mano_fit_verts(tmp_path, mano_model):
     assert v[:, 2].mean() > 0
 
 
+def test_fphab_mano_fits(tmp_path, mano_model):
+    """With MANO fits on disk, FPHAB samples carry GT hand vertices and the
+    dataset declares VERTS3D (enables vertex supervision + GT-ref warps)."""
+    from hocon.data.queries import BaseQueries
+
+    root = str(tmp_path)
+    _write_fphab_tree(root)
+    rng = np.random.default_rng(3)
+    fits_dir = os.path.join(root, "fhbhands_fits", "Subject_1", "open_milk", "1")
+    os.makedirs(fits_dir)
+    fits = {
+        i: {
+            "pose": rng.standard_normal(48).astype(np.float32) * 0.1,
+            "shape": rng.standard_normal(10).astype(np.float32) * 0.1,
+            "trans": np.array([0.0, 0.0, 0.5], np.float32),
+        }
+        for i in range(6)
+    }
+    with open(os.path.join(fits_dir, "fits.pkl"), "wb") as f:
+        pickle.dump(fits, f)
+
+    ds = F.FPHAB(root, split="train", mano=mano_model)
+    assert BaseQueries.VERTS3D in ds.available_queries()
+    s = ds.get_sample(0)
+    v = s["verts3d_cam"]
+    assert v is not None and v.shape == (778, 3)
+    assert np.all(np.isfinite(v))
+    # trans puts the hand ~0.5m in front of the camera.
+    assert 0.2 < v[:, 2].mean() < 0.8
+    # Without a MANO model the fits are ignored (no vertex queries).
+    ds_nomano = F.FPHAB(root, split="train")
+    assert BaseQueries.VERTS3D not in ds_nomano.available_queries()
+    assert ds_nomano.get_sample(0)["verts3d_cam"] is None
+
+
+def test_decimate_mesh_budget_and_geometry():
+    from scipy.spatial import ConvexHull
+
+    from hocon.data.meshes import decimate_mesh
+
+    rng = np.random.default_rng(0)
+    pts = rng.standard_normal((6000, 3))
+    pts /= np.linalg.norm(pts, axis=1, keepdims=True)
+    hull = ConvexHull(pts)
+    verts = pts.astype(np.float32)
+    faces = hull.simplices.astype(np.int64)
+    assert len(faces) > 10000  # dense sphere, YCB-scale face count
+
+    dv, df = decimate_mesh(verts, faces, 1500)
+    assert 0 < len(df) <= 1500
+    assert df.max() < len(dv)
+    # Degenerate faces were dropped.
+    assert np.all(df[:, 0] != df[:, 1])
+    assert np.all(df[:, 1] != df[:, 2])
+    # Geometry preserved: decimated verts stay near the unit sphere.
+    r = np.linalg.norm(dv, axis=1)
+    assert 0.9 < r.min() and r.max() < 1.1
+
+    # Already within budget -> unchanged.
+    sv, sf = decimate_mesh(verts[:10], faces[:5] % 10, 100)
+    assert len(sf) == 5 and len(sv) == 10
+
+
+def test_decimated_mesh_renders(mano_model):
+    """A 20k-face mesh decimates and renders through the soft rasterizer."""
+    from scipy.spatial import ConvexHull
+
+    from hocon.data.meshes import decimate_mesh
+    from hocon.render.raster import soft_rasterize
+
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(1)
+    pts = rng.standard_normal((6000, 3))
+    pts /= np.linalg.norm(pts, axis=1, keepdims=True)
+    hull = ConvexHull(pts)
+    dv, df = decimate_mesh(
+        (pts * 0.05).astype(np.float32), hull.simplices.astype(np.int64), 1000
+    )
+    verts = jnp.asarray(dv)[None] + jnp.asarray([0.0, 0.0, 0.5])
+    k = jnp.asarray(
+        [[[60.0, 0.0, 16.0], [0.0, 60.0, 16.0], [0.0, 0.0, 1.0]]]
+    )
+    pix = (verts @ jnp.swapaxes(k, 1, 2))
+    pix = pix[..., :2] / pix[..., 2:3]
+    out = soft_rasterize(
+        pix, verts[..., 2], jnp.asarray(df)[None], attrs=pix,
+        image_size=(32, 32),
+    )
+    sil = np.asarray(out.sil)
+    assert np.isfinite(sil).all()
+    assert sil.max() > 0.5  # the sphere is visible
+
+
 def test_ho3d_eval_split_root_only(tmp_path):
     root = str(tmp_path)
     _write_ho3d_tree(root, split="evaluation")

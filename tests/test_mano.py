@@ -192,3 +192,53 @@ def test_chumpy_free_loader_roundtrip(tmp_path):
         np.asarray(loaded.v_template), np.asarray(m.v_template), atol=1e-6
     )
     assert loaded.faces.dtype == jnp.int32
+
+
+def test_left_hand_is_mirrored_right(mano_model):
+    """Oracle: forward on the mirrored (left) model with mirrored inputs
+    equals the x-flipped right-hand forward (manopth ManoLayer side parity:
+    left-ness lives entirely in the assets, the forward math is shared)."""
+    left = M.mirror_mano_model(mano_model)
+    assert left.side == "left"
+
+    rng = np.random.default_rng(11)
+    b = 3
+    pose = jnp.asarray(rng.standard_normal((b, 45)) * 0.3, jnp.float32)
+    betas = jnp.asarray(rng.standard_normal((b, 10)) * 0.5, jnp.float32)
+    rot = jnp.asarray(rng.standard_normal((b, 3)) * 0.8, jnp.float32)
+    trans = jnp.asarray(rng.standard_normal((b, 3)) * 0.1, jnp.float32)
+
+    mirror_xyz = jnp.asarray([-1.0, 1.0, 1.0])
+    aa_flip = jnp.asarray([1.0, -1.0, -1.0])
+
+    v_r, j_r = M.mano_forward(
+        mano_model, pose, betas, rot, trans=trans, use_pca=False
+    )
+    v_l, j_l = M.mano_forward(
+        left,
+        (pose.reshape(b, 15, 3) * aa_flip[None, None]).reshape(b, 45),
+        betas,
+        rot * aa_flip[None],
+        trans=trans * mirror_xyz[None],
+        use_pca=False,
+    )
+    np.testing.assert_allclose(v_l, v_r * mirror_xyz, rtol=1e-4, atol=1e-3)
+    np.testing.assert_allclose(j_l, j_r * mirror_xyz, rtol=1e-4, atol=1e-3)
+    # PCA decode mirrors consistently too: same coefficients map to the
+    # mirrored full pose, so the PCA path also satisfies the oracle.
+    v_rp, _ = M.mano_forward(mano_model, pose[:, :15], betas, rot, use_pca=True)
+    v_lp, _ = M.mano_forward(
+        left, pose[:, :15], betas, rot * aa_flip[None], use_pca=True
+    )
+    np.testing.assert_allclose(v_lp, v_rp * mirror_xyz, rtol=1e-4, atol=1e-3)
+
+
+def test_mirror_is_involution(mano_model):
+    back = M.mirror_mano_model(M.mirror_mano_model(mano_model))
+    np.testing.assert_allclose(back.v_template, mano_model.v_template, atol=1e-7)
+    np.testing.assert_allclose(back.posedirs, mano_model.posedirs, atol=1e-7)
+    np.testing.assert_allclose(
+        back.hands_components, mano_model.hands_components, atol=1e-7
+    )
+    np.testing.assert_array_equal(back.faces, mano_model.faces)
+    assert back.side == "right"

@@ -98,3 +98,144 @@ def test_import_missing_key_raises():
     variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))
     with pytest.raises(KeyError):
         import_resnet_trunk({}, variables["params"], variables["batch_stats"])
+
+
+def _rand_linear(rng, cin, cout):
+    return (
+        rng.standard_normal((cout, cin)).astype(np.float32) * 0.05,
+        rng.standard_normal(cout).astype(np.float32) * 0.05,
+    )
+
+
+def test_full_hocnet_import_roundtrip(mano_model):
+    """Synthetic reference-style state_dict (trunk + shared-base branch MLPs
+    + per-output regressors) imports into HOCNet and reproduces the
+    reference head math exactly — only the name table should change once
+    the real checkpoint key names are verifiable."""
+    from hocon.models.hocnet import HOCNet
+    from hocon.utils.torch_import import import_hocnet
+
+    tmodel = _TorchResNet18().eval()
+    state_dict = {
+        "base_net." + k: v.numpy() for k, v in tmodel.state_dict().items()
+    }
+
+    rng = np.random.default_rng(0)
+    ncomps, feat = 15, 512
+    # Reference branch layout: shared base MLP + per-output regressors.
+    branches = {
+        "mano_branch.base_layer.0": _rand_linear(rng, feat, 512),
+        "mano_branch.base_layer.2": _rand_linear(rng, 512, 512),
+        "mano_branch.pose_reg": _rand_linear(rng, 512, ncomps + 3),
+        "mano_branch.shape_reg": _rand_linear(rng, 512, 10),
+        "absolute_branch.base_layer.0": _rand_linear(rng, feat, 512),
+        "absolute_branch.final_layer": _rand_linear(rng, 512, 3),
+        "obj_branch.base_layer.0": _rand_linear(rng, feat, 512),
+        "obj_branch.trans_reg": _rand_linear(rng, 512, 3),
+        "obj_branch.rot_reg": _rand_linear(rng, 512, 3),  # axis-angle
+    }
+    for name, (w, b) in branches.items():
+        state_dict[name + ".weight"] = w
+        state_dict[name + ".bias"] = b
+
+    model = HOCNet(
+        ncomps=ncomps, with_object=True, obj_rot_param="axisang",
+        freeze_batchnorm=True,
+    )
+    x = rng.standard_normal((2, 64, 64, 3)).astype(np.float32)
+    k = np.tile(
+        np.array([[80.0, 0, 32.0], [0, 80.0, 32.0], [0, 0, 1.0]], np.float32),
+        (2, 1, 1),
+    )
+    obj = rng.uniform(-0.03, 0.03, (2, 8, 3)).astype(np.float32)
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.asarray(x), jnp.asarray(k), mano_model,
+        jnp.asarray(obj),
+    )
+    imported = import_hocnet(variables, state_dict)
+    out = model.apply(
+        imported, jnp.asarray(x), jnp.asarray(k), mano_model, jnp.asarray(obj)
+    )
+
+    # Reference math in numpy: feats -> shared base -> regressors.
+    with torch.no_grad():
+        feats = tmodel(torch.from_numpy(x).permute(0, 3, 1, 2)).numpy()
+
+    def lin(name, h):
+        w, b = branches[name]
+        return h @ w.T + b
+
+    base = np.maximum(lin("mano_branch.base_layer.2",
+                          np.maximum(lin("mano_branch.base_layer.0", feats), 0)), 0)
+    pose_out = lin("mano_branch.pose_reg", base)
+    np.testing.assert_allclose(
+        np.asarray(out["pose_pca"]), pose_out[:, :ncomps], atol=2e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(out["root_rot"]), pose_out[:, ncomps:], atol=2e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(out["betas"]), lin("mano_branch.shape_reg", base), atol=2e-4
+    )
+    # Absolute branch: the z_init offset is folded into the imported bias,
+    # so the composed function equals the raw reference regression.
+    abase = np.maximum(lin("absolute_branch.base_layer.0", feats), 0)
+    np.testing.assert_allclose(
+        np.asarray(out["trans"]), lin("absolute_branch.final_layer", abase),
+        atol=2e-4,
+    )
+    obase = np.maximum(lin("obj_branch.base_layer.0", feats), 0)
+    np.testing.assert_allclose(
+        np.asarray(out["obj_trans"]), lin("obj_branch.trans_reg", obase),
+        atol=2e-4,
+    )
+    # Rotation: axis-angle through Rodrigues.
+    from hocon.geometry.rot import rodrigues
+
+    aa = lin("obj_branch.rot_reg", obase)
+    np.testing.assert_allclose(
+        np.asarray(out["obj_rot"]),
+        np.asarray(rodrigues(jnp.asarray(aa))),
+        atol=2e-4,
+    )
+
+
+def test_import_hocnet_hand_only_nonstrict(mano_model):
+    """strict_heads=False skips absent branches (hand-only checkpoints)."""
+    from hocon.models.hocnet import HOCNet
+    from hocon.utils.torch_import import import_hocnet
+
+    tmodel = _TorchResNet18().eval()
+    state_dict = {
+        "base_net." + k: v.numpy() for k, v in tmodel.state_dict().items()
+    }
+    rng = np.random.default_rng(1)
+    for name, dims in {
+        "mano_branch.base_layer.0": (512, 512),
+        "mano_branch.base_layer.2": (512, 512),
+        "mano_branch.pose_reg": (512, 18),
+        "mano_branch.shape_reg": (512, 10),
+        "absolute_branch.base_layer.0": (512, 512),
+        "absolute_branch.final_layer": (512, 3),
+    }.items():
+        w, b = _rand_linear(rng, *dims)
+        state_dict[name + ".weight"] = w
+        state_dict[name + ".bias"] = b
+
+    model = HOCNet(with_object=False, freeze_batchnorm=True)
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)),
+        jnp.eye(3)[None], mano_model, None,
+    )
+    imported = import_hocnet(variables, state_dict, strict_heads=False)
+    assert "obj_head" not in imported["params"]
+    # And strict mode raises on the same (incomplete) dict for an obj model.
+    model_obj = HOCNet(
+        with_object=True, obj_rot_param="axisang", freeze_batchnorm=True
+    )
+    vars_obj = model_obj.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)),
+        jnp.eye(3)[None], mano_model, jnp.zeros((1, 8, 3)),
+    )
+    with pytest.raises(KeyError):
+        import_hocnet(vars_obj, state_dict, strict_heads=True)
