@@ -40,9 +40,12 @@ from hocon.render.raster import FacePlanes, RasterOutput, rasterize_planes_xla
 
 FACE_CHUNK = 32
 ROW_BLOCK = 8
-# Coverage is sigmoid(-d^2/sigma^2): at 6*sigma from a face it is ~2e-16,
-# so culling chunks beyond this radius is numerically exact in f32.
-CUTOFF_SIGMAS = 6.0
+# Coverage is sigmoid(-d^2/sigma^2): at 4.5*sigma from a face it is ~1.6e-9
+# (and its gradient smaller still), orders of magnitude below the f32 noise
+# of the accumulation itself — culling chunks beyond this radius changes
+# nothing observable. The margin is ~half of a chunk's y-span, so the
+# radius directly scales kernel time.
+CUTOFF_SIGMAS = 4.5
 _BIG_NEG = -1e4  # inert-face edge constant; squared stays in f32 range
 
 
@@ -282,7 +285,7 @@ def _rasterize_sorted_fwd(coeffs, ybounds, image_size, sigma, gamma, n_attr):
 
 def _raster_bwd_kernel(
     ybounds_ref,  # SMEM (1, NC, 2)
-    coeffs_ref,  # VMEM (1, FC, 3R)       block @ (b, k)
+    coeffs_ref,  # VMEM (1, Fp, 3R)       block @ (b,) — resident across yi
     sil_ref,  # VMEM (1, RB, Wp)          @ (b, yi)
     attr_ref,  # VMEM (1, C+1, RB, Wp)    @ (b, yi)
     vis_ref,  # VMEM (1, RB, Wp)
@@ -290,24 +293,26 @@ def _raster_bwd_kernel(
     gsil_ref,  # VMEM (1, RB, Wp)
     gattr_ref,  # VMEM (1, C+1, RB, Wp)
     gvis_ref,  # VMEM (1, RB, Wp)
-    dcoeffs_ref,  # out VMEM (1, FC, 3R)  block @ (b, k) — revisited over yi
+    dcoeffs_ref,  # out VMEM (1, Fp, 3R)  block @ (b,) — revisited over yi
     *,
+    n_chunks: int,
     n_attr: int,
     width: int,
+    face_chunk: int,
     sigma: float,
     gamma: float,
 ):
     """Gradient of the soft raster w.r.t. the face-plane coefficients.
 
-    Mirror of the forward: grid (batch, FACE CHUNK, pixel row-block), row
-    blocks fastest. The (b, chunk) output block stays resident in VMEM
-    across its row-block revisits and accumulates per-row gradient
-    reductions; row blocks outside the chunk's y-interval are skipped
-    (same culling as the forward). Deterministic: one program sequence
-    owns each output block.
+    Grid (batch, pixel row-block) — the same shape as the forward. The full
+    (b,) dcoeffs block stays resident in VMEM across the row-block sweep
+    and accumulates; inside a program, a chunk loop skips face chunks whose
+    y-interval misses this row block (scalar compare — unlike the previous
+    (b, chunk, row) grid, an inactive chunk costs no block DMA and no
+    program launch). Deterministic: one program sequence owns each output
+    block.
     """
-    k = pl.program_id(1)
-    yi = pl.program_id(2)
+    yi = pl.program_id(1)
     rb = ROW_BLOCK
     inv_sigma_sq = 1.0 / (sigma * sigma)
     inv_gamma = 1.0 / gamma
@@ -316,9 +321,6 @@ def _raster_bwd_kernel(
     def _():
         dcoeffs_ref[...] = jnp.zeros_like(dcoeffs_ref)
 
-    a = coeffs_ref[0]  # (FC, 3R)
-    ymin = ybounds_ref[0, k, 0]
-    ymax = ybounds_ref[0, k, 1]
     y0 = (yi * rb).astype(jnp.float32)
 
     x = (
@@ -330,99 +332,121 @@ def _raster_bwd_kernel(
         + y0
         + 0.5
     )
+    y_col = y[0]  # (RB, 1) — sublane weights for the two-pass reduction
 
-    def coeff(r, j):
-        return a[:, 3 * r + j : 3 * r + j + 1][:, :, None]  # (FC, 1, 1)
+    # --- saved per-pixel state + incoming grads (shared by all chunks) ---
+    sil = sil_ref[0]
+    one_m_sil = 1.0 - sil
+    vis = vis_ref[0]
+    m = mden_ref[0, 0]
+    inv_den = 1.0 / mden_ref[0, 1]
+    gsil = gsil_ref[0]
+    gvis = gvis_ref[0]
+    g_z = gattr_ref[0, n_attr - 1]
+    out_z = attr_ref[0, n_attr - 1]
 
-    @pl.when(jnp.logical_and(y0 + rb > ymin, y0 < ymax))
-    def _():
-        def row_eval(r):
-            return coeff(r, 0) * x + (coeff(r, 1) * y + coeff(r, 2))
+    def chunk_body(k, _):
+        a = coeffs_ref[0, pl.ds(k * face_chunk, face_chunk), :]  # (FC, 3R)
+        ymin = ybounds_ref[0, k, 0]
+        ymax = ybounds_ref[0, k, 1]
 
-        def red(v):  # (FC, RB, W) -> (FC, 1), staying >= 2-D throughout
-            return jnp.sum(jnp.sum(v, axis=2), axis=1, keepdims=True)
+        def coeff(r, j):
+            return a[:, 3 * r + j : 3 * r + j + 1][:, :, None]  # (FC, 1, 1)
 
-        def add_row(r, dval):  # dval: (FC, RB, W)
-            dcoeffs_ref[0, :, 3 * r : 3 * r + 1] += red(dval * x)
-            dcoeffs_ref[0, :, 3 * r + 1 : 3 * r + 2] += red(dval * y)
-            dcoeffs_ref[0, :, 3 * r + 2 : 3 * r + 3] += red(dval)
+        @pl.when(jnp.logical_and(y0 + rb > ymin, y0 < ymax))
+        def _():
+            def row_eval(r):
+                return coeff(r, 0) * x + (coeff(r, 1) * y + coeff(r, 2))
 
-        # --- recompute forward per-(face, pixel) quantities ---
-        s = [row_eval(0), row_eval(1), row_eval(2)]
-        d_in = jnp.minimum(jnp.minimum(s[0], s[1]), s[2])
-        us, lens, ovs, c2s = [], [], [], []
-        for ke in range(3):
-            u = row_eval(3 + ke)
-            length = coeff(6 + ke, 2)
-            ov = jnp.maximum(jnp.maximum(-u, u - length), 0.0)
-            us.append(u)
-            lens.append(length)
-            ovs.append(ov)
-            c2s.append(s[ke] * s[ke] + ov * ov)
-        dist2 = jnp.minimum(jnp.minimum(c2s[0], c2s[1]), c2s[2])
-        inside = d_in > 0
-        signed_sq = jnp.where(inside, d_in * d_in, -dist2)
-        logits = signed_sq * inv_sigma_sq
-        zraw = row_eval(9)
-        z = jnp.clip(zraw, 0.0, 1.0)
-        logp = -jax.nn.softplus(-logits)
-        l = logp - z * inv_gamma
+            def add_row(r, dval):  # dval: (FC, RB, W)
+                # Two-pass reduction: the x-weight varies only along lanes
+                # and the y-weight only along sublanes, so reduce sublanes
+                # first (S_w), lanes first (T_y), then apply the 1-D weights
+                # — ~2.5x fewer VPU ops than three full weighted reductions.
+                s_w = jnp.sum(dval, axis=1)  # (FC, W)
+                t_y = jnp.sum(dval, axis=2)  # (FC, RB)
+                da = jnp.sum(s_w * x[0], axis=1, keepdims=True)  # (FC, 1)
+                db = jnp.sum(t_y * y_col[:, 0][None, :], axis=1, keepdims=True)
+                dc = jnp.sum(s_w, axis=1, keepdims=True)
+                base = k * face_chunk
+                dcoeffs_ref[0, pl.ds(base, face_chunk),
+                            3 * r : 3 * r + 1] += da
+                dcoeffs_ref[0, pl.ds(base, face_chunk),
+                            3 * r + 1 : 3 * r + 2] += db
+                dcoeffs_ref[0, pl.ds(base, face_chunk),
+                            3 * r + 2 : 3 * r + 3] += dc
 
-        # --- saved per-pixel state + incoming grads ---
-        sil = sil_ref[0]
-        one_m_sil = 1.0 - sil
-        vis = vis_ref[0]
-        m = mden_ref[0, 0]
-        inv_den = 1.0 / mden_ref[0, 1]
-        gsil = gsil_ref[0]
-        gvis = gvis_ref[0]
-        g_z = gattr_ref[0, n_attr - 1]
-        out_z = attr_ref[0, n_attr - 1]
+            # --- recompute forward per-(face, pixel) quantities ---
+            s = [row_eval(0), row_eval(1), row_eval(2)]
+            d_in = jnp.minimum(jnp.minimum(s[0], s[1]), s[2])
+            us, lens, ovs, c2s = [], [], [], []
+            for ke in range(3):
+                u = row_eval(3 + ke)
+                length = coeff(6 + ke, 2)
+                ov = jnp.maximum(jnp.maximum(-u, u - length), 0.0)
+                us.append(u)
+                lens.append(length)
+                ovs.append(ov)
+                c2s.append(s[ke] * s[ke] + ov * ov)
+            dist2 = jnp.minimum(jnp.minimum(c2s[0], c2s[1]), c2s[2])
+            inside = d_in > 0
+            signed_sq = jnp.where(inside, d_in * d_in, -dist2)
+            logits = signed_sq * inv_sigma_sq
+            zraw = row_eval(9)
+            z = jnp.clip(zraw, 0.0, 1.0)
+            # exp(l - m) with l = log(sigmoid(logits)) - z/gamma, computed
+            # as sig * exp(-z/gamma - m): one sigmoid + one exp, and the
+            # sigmoid is reused for the silhouette/coverage chain below
+            # (saves the softplus recompute entirely).
+            sig = jax.nn.sigmoid(logits)
+            what = sig * jnp.exp(-z * inv_gamma - m) * inv_den  # (FC, RB, W)
 
-        what = jnp.exp(l - m) * inv_den  # softmax weight (FC, RB, W)
+            # dL/dl accumulates softmax-competition terms over channels.
+            ssum = g_z * (z - out_z) + gvis * (1.0 - vis)
+            for c in range(n_attr - 1):
+                g_c = gattr_ref[0, c]
+                out_c = attr_ref[0, c]
+                a_c = row_eval(10 + c)
+                ssum += g_c * (a_c - out_c)
+                add_row(10 + c, what * g_c)  # direct attr-row gradient
+            dl = what * ssum
 
-        # dL/dl accumulates softmax-competition terms over channels.
-        ssum = g_z * (z - out_z) + gvis * (1.0 - vis)
-        for c in range(n_attr - 1):
-            g_c = gattr_ref[0, c]
-            out_c = attr_ref[0, c]
-            a_c = row_eval(10 + c)
-            ssum += g_c * (a_c - out_c)
-            add_row(10 + c, what * g_c)  # direct attr-row gradient
-        dl = what * ssum
-
-        # silhouette path: d(-softplus(x))/dx = -sigmoid(x);
-        # dL/dA = -gsil * (1 - sil).
-        dx = gsil * one_m_sil * jax.nn.sigmoid(logits) + dl * jax.nn.sigmoid(
-            -logits
-        )
-        clip_mask = jnp.logical_and(zraw > 0.0, zraw < 1.0).astype(jnp.float32)
-        add_row(9, (what * g_z - dl * inv_gamma) * clip_mask)
-
-        dss = dx * inv_sigma_sq  # dL/d(signed_sq)
-        insf = inside.astype(jnp.float32)
-        # Tie-splitting masks (even split, matching jnp.min gradients).
-        in_masks = [(sk == d_in).astype(jnp.float32) for sk in s]
-        in_cnt = in_masks[0] + in_masks[1] + in_masks[2]
-        o_masks = [(c2 == dist2).astype(jnp.float32) for c2 in c2s]
-        o_cnt = o_masks[0] + o_masks[1] + o_masks[2]
-        for ke in range(3):
-            sel_in = in_masks[ke] / in_cnt * insf
-            sel_out = o_masks[ke] / o_cnt * (1.0 - insf)
-            ds = (2.0 * d_in * sel_in - 2.0 * s[ke] * sel_out) * dss
-            add_row(ke, ds)
-            # overhang branch: ov = max(-u, u - L, 0)
-            a_side = -us[ke]
-            b_side = us[ke] - lens[ke]
-            take_b = jnp.logical_and(b_side >= a_side, b_side > 0).astype(
+            # silhouette path: d(-softplus(x))/dx = -sigmoid(x);
+            # dL/dA = -gsil * (1 - sil); sigmoid(-x) == 1 - sigmoid(x).
+            dx = gsil * one_m_sil * sig + dl * (1.0 - sig)
+            clip_mask = jnp.logical_and(zraw > 0.0, zraw < 1.0).astype(
                 jnp.float32
             )
-            take_a = jnp.logical_and(a_side > b_side, a_side > 0).astype(
-                jnp.float32
-            )
-            dov = -2.0 * ovs[ke] * sel_out * dss  # dL/d(ov)
-            add_row(3 + ke, dov * (take_b - take_a))
-            add_row(6 + ke, dov * (-take_b))
+            add_row(9, (what * g_z - dl * inv_gamma) * clip_mask)
+
+            dss = dx * inv_sigma_sq  # dL/d(signed_sq)
+            insf = inside.astype(jnp.float32)
+            # Tie-splitting masks (even split, matching jnp.min gradients).
+            in_masks = [(sk == d_in).astype(jnp.float32) for sk in s]
+            in_cnt = in_masks[0] + in_masks[1] + in_masks[2]
+            o_masks = [(c2 == dist2).astype(jnp.float32) for c2 in c2s]
+            o_cnt = o_masks[0] + o_masks[1] + o_masks[2]
+            for ke in range(3):
+                sel_in = in_masks[ke] / in_cnt * insf
+                sel_out = o_masks[ke] / o_cnt * (1.0 - insf)
+                ds = (2.0 * d_in * sel_in - 2.0 * s[ke] * sel_out) * dss
+                add_row(ke, ds)
+                # overhang branch: ov = max(-u, u - L, 0)
+                a_side = -us[ke]
+                b_side = us[ke] - lens[ke]
+                take_b = jnp.logical_and(b_side >= a_side, b_side > 0).astype(
+                    jnp.float32
+                )
+                take_a = jnp.logical_and(a_side > b_side, a_side > 0).astype(
+                    jnp.float32
+                )
+                dov = -2.0 * ovs[ke] * sel_out * dss  # dL/d(ov)
+                add_row(3 + ke, dov * (take_b - take_a))
+                add_row(6 + ke, dov * (-take_b))
+
+        return 0
+
+    jax.lax.fori_loop(0, n_chunks, chunk_body, 0)
 
 
 def _backward_pallas(residual, grads, image_size, sigma, gamma, n_attr):
@@ -441,39 +465,43 @@ def _backward_pallas(residual, grads, image_size, sigma, gamma, n_attr):
 
     kernel = functools.partial(
         _raster_bwd_kernel,
+        n_chunks=nc,
         n_attr=n_attr,
         width=wp,
+        face_chunk=FACE_CHUNK,
         sigma=sigma,
         gamma=gamma,
     )
     rbk = ROW_BLOCK
-    img_spec = pl.BlockSpec((1, rbk, wp), lambda bi, ki, yi: (bi, yi, 0),
+    img_spec = pl.BlockSpec((1, rbk, wp), lambda bi, yi: (bi, yi, 0),
                             memory_space=pltpu.VMEM)
     chan_spec = pl.BlockSpec(
-        (1, n_attr, rbk, wp), lambda bi, ki, yi: (bi, 0, yi, 0),
+        (1, n_attr, rbk, wp), lambda bi, yi: (bi, 0, yi, 0),
         memory_space=pltpu.VMEM,
     )
     dcoeffs = pl.pallas_call(
         kernel,
-        grid=(b, fp // FACE_CHUNK, hp // rbk),
+        grid=(b, hp // rbk),
         in_specs=[
-            pl.BlockSpec((1, nc, 2), lambda bi, ki, yi: (bi, 0, 0),
+            pl.BlockSpec((1, nc, 2), lambda bi, yi: (bi, 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, FACE_CHUNK, r3), lambda bi, ki, yi: (bi, ki, 0),
+            # Whole coefficient table resident per batch element (fetched
+            # once per b, constant across the row sweep).
+            pl.BlockSpec((1, fp, r3), lambda bi, yi: (bi, 0, 0),
                          memory_space=pltpu.VMEM),
             img_spec,
             chan_spec,
             img_spec,
-            pl.BlockSpec((1, 2, rbk, wp), lambda bi, ki, yi: (bi, 0, yi, 0),
+            pl.BlockSpec((1, 2, rbk, wp), lambda bi, yi: (bi, 0, yi, 0),
                          memory_space=pltpu.VMEM),
             img_spec,
             chan_spec,
             img_spec,
         ],
-        # Output block depends only on (b, chunk): it stays resident across
-        # the row-block grid dimension and accumulates.
+        # Output block depends only on b: it stays resident in VMEM across
+        # the row-block sweep and accumulates (zeroed at yi == 0).
         out_specs=pl.BlockSpec(
-            (1, FACE_CHUNK, r3), lambda bi, ki, yi: (bi, ki, 0),
+            (1, fp, r3), lambda bi, yi: (bi, 0, 0),
             memory_space=pltpu.VMEM,
         ),
         out_shape=jax.ShapeDtypeStruct((b, fp, r3), jnp.float32),

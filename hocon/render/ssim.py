@@ -2,14 +2,25 @@
 
 Reference parity: the reference's pytorch-ssim-style util (SURVEY.md §2.2,
 "SSIM loss") — Gaussian-windowed SSIM per pixel, used masked inside the
-rendered silhouette. Implemented as depthwise convolutions, which XLA fuses
-and maps onto the MXU.
+rendered silhouette.
+
+TPU mapping: the separable Gaussian blur is computed as two BANDED-MATRIX
+MATMULS (columns: X @ G_w^T, rows: G_h @ X) instead of depthwise
+convolutions. Depthwise NHWC convs put the channel dim (C=3) in the lane
+axis — 3 of 128 lanes busy; the banded matmuls put W in the lanes and run
+on the MXU, which is idle in this phase of the step (measured 7.8 ms ->
+~1 ms fwd+bwd for 5 blurred fields at 16x256^2). The band matrix
+reproduces zero-padded 'SAME' convolution exactly, so the result is
+bit-comparable to the conv formulation (tested).
 """
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 _C1 = 0.01**2
 _C2 = 0.03**2
@@ -22,26 +33,38 @@ def _gaussian_kernel(window_size: int, sigma: float, dtype) -> jnp.ndarray:
     return g / jnp.sum(g)  # (K,)
 
 
-def _window_mean(x: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:
-    """Separable depthwise Gaussian filter (exact: g2d = g (x) g).
+@functools.lru_cache(maxsize=16)
+def _band_matrix_np(n: int, window_size: int, sigma: float) -> np.ndarray:
+    """(n, n) banded Gaussian-blur matrix == zero-padded SAME conv."""
+    half = (window_size - 1) / 2.0
+    x = np.arange(window_size, dtype=np.float64) - half
+    g = np.exp(-(x**2) / (2.0 * sigma**2))
+    g /= g.sum()
+    m = np.zeros((n, n), np.float64)
+    r = (window_size - 1) // 2
+    for t in range(window_size):
+        off = t - r
+        d = np.diagonal(m, offset=off)
+        d.setflags(write=True)
+        d += g[t]
+    return m.astype(np.float32)
 
-    Two 1-D depthwise convs (2K taps) instead of one KxK (K^2 taps) —
-    depthwise convs run on the VPU, so this is a ~K/2x win on TPU.
+
+def _window_mean_cf(x: jnp.ndarray, window_size: int, sigma: float) -> jnp.ndarray:
+    """Separable Gaussian filter via banded matmuls (exact: g2d = g (x) g).
+
+    x: CHANNELS-FIRST (B, C, H, W) so both matmuls have large M/N/K
+    ((B*C*H, W) @ (W, W), then (H, H) @ (H, W) batched over B*C) — full MXU
+    tiles, W in the lane axis. Precision HIGHEST keeps the moments exact in
+    f32 (the variance terms cancel catastrophically in bf16).
     """
-    c = x.shape[-1]
-    k = kernel.shape[0]
-    ones_c = jnp.ones((1, 1, 1, c), x.dtype)
-    kv = kernel[:, None, None, None] * ones_c  # (K,1,1,C)
-    kh = kernel[None, :, None, None] * ones_c  # (1,K,1,C)
-    dn = ("NHWC", "HWIO", "NHWC")
-    y = jax.lax.conv_general_dilated(
-        x, kv, (1, 1), [((k - 1) // 2, (k - 1) // 2), (0, 0)],
-        dimension_numbers=dn, feature_group_count=c,
-    )
-    return jax.lax.conv_general_dilated(
-        y, kh, (1, 1), [(0, 0), ((k - 1) // 2, (k - 1) // 2)],
-        dimension_numbers=dn, feature_group_count=c,
-    )
+    h, w = x.shape[-2], x.shape[-1]
+    gw = jnp.asarray(_band_matrix_np(w, window_size, sigma), x.dtype)
+    gh = jnp.asarray(_band_matrix_np(h, window_size, sigma), x.dtype)
+    y = jnp.einsum("...hw,vw->...hv", x, gw,
+                   precision=jax.lax.Precision.HIGHEST)
+    return jnp.einsum("...hw,uh->...uw", y, gh,
+                      precision=jax.lax.Precision.HIGHEST)
 
 
 def ssim(
@@ -58,18 +81,19 @@ def ssim(
     Returns:
       (B, H, W) SSIM map (mean over channels), values in [-1, 1].
     """
-    kernel = _gaussian_kernel(window_size, sigma, img_a.dtype)
-    mu_a = _window_mean(img_a, kernel)
-    mu_b = _window_mean(img_b, kernel)
+    a = jnp.moveaxis(img_a, -1, 1)  # (B, C, H, W) — lanes = W
+    b = jnp.moveaxis(img_b, -1, 1)
+    mu_a = _window_mean_cf(a, window_size, sigma)
+    mu_b = _window_mean_cf(b, window_size, sigma)
     mu_aa = mu_a * mu_a
     mu_bb = mu_b * mu_b
     mu_ab = mu_a * mu_b
-    var_a = _window_mean(img_a * img_a, kernel) - mu_aa
-    var_b = _window_mean(img_b * img_b, kernel) - mu_bb
-    cov = _window_mean(img_a * img_b, kernel) - mu_ab
+    var_a = _window_mean_cf(a * a, window_size, sigma) - mu_aa
+    var_b = _window_mean_cf(b * b, window_size, sigma) - mu_bb
+    cov = _window_mean_cf(a * b, window_size, sigma) - mu_ab
     num = (2.0 * mu_ab + _C1) * (2.0 * cov + _C2)
     den = (mu_aa + mu_bb + _C1) * (var_a + var_b + _C2)
-    return jnp.mean(num / den, axis=-1)
+    return jnp.mean(num / den, axis=1)  # mean over channels -> (B, H, W)
 
 
 def ssim_loss(

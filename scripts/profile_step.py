@@ -34,6 +34,24 @@ def timeit(fn, args, steps=30, warmup=3):
     return (time.perf_counter() - t0) / steps
 
 
+def timeit_state(step, state, batch, steps=30, warmup=3):
+    """Like timeit but threads the (donated) train state through."""
+    import jax
+    import jax.numpy as jnp
+
+    # Steps donate their input state; give this timing its own copy so the
+    # caller's state survives for the next measurement.
+    state = jax.tree_util.tree_map(jnp.copy, state)
+    for _ in range(warmup):
+        state, terms = step(state, batch)
+    jax.block_until_ready(state.params)
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        state, terms = step(state, batch)
+    jax.block_until_ready(state.params)
+    return (time.perf_counter() - t0) / steps
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--res", type=int, default=256)
@@ -65,7 +83,9 @@ def main():
         synth_frames=16, seed=0,
     )
     loader = BatchLoader(ds, batch_size=b, seed=0, drop_last=False)
-    batch = next(iter(loader))
+    # Pin the batch on device once: re-sending 25MB over the axon tunnel
+    # every step would swamp every measurement.
+    batch = jax.device_put(next(iter(loader)))
 
     model = HOCNet(with_object=True, freeze_batchnorm=True, dtype=jnp.bfloat16)
     optimizer = make_optimizer("adam", 1e-4)
@@ -77,15 +97,13 @@ def main():
     warp_step = make_warp_train_step(
         model, mano, optimizer, image_size=(res, res), backend="auto"
     )
-    t = timeit(lambda s, bt: warp_step(s, bt)[0].params, (state, batch),
-               steps=args.steps)
+    t = timeit_state(warp_step, state, batch, steps=args.steps)
     print(f"full warp step:        {t * 1e3:8.2f} ms  "
           f"({b / t:.1f} pairs/s)")
 
     # --- supervised-only step ---
     sup_step = make_train_step(model, mano, optimizer)
-    t = timeit(lambda s, bt: sup_step(s, bt)[0].params, (state, batch["ref"]),
-               steps=args.steps)
+    t = timeit_state(sup_step, state, batch["ref"], steps=args.steps)
     print(f"supervised step:       {t * 1e3:8.2f} ms")
 
     # --- raster fwd / fwd+bwd on representative mesh ---
