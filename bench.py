@@ -36,6 +36,9 @@ def log(msg: str):
 
 
 def main():
+    from hocon.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
     import jax
     import jax.numpy as jnp
 

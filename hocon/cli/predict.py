@@ -30,6 +30,9 @@ from hocon.train.steps import make_eval_step
 
 
 def main(argv=None):
+    from hocon.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
     parser = argparse.ArgumentParser("hocon.predict")
     opts.add_exp_opts(parser)
     opts.add_net_opts(parser)

@@ -120,6 +120,9 @@ def setup_common(args):
 
 
 def main(argv=None):
+    from hocon.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
     parser = argparse.ArgumentParser("hocon.train")
     opts.add_exp_opts(parser)
     opts.add_net_opts(parser)

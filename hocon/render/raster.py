@@ -115,8 +115,14 @@ def face_planes(
         they are culled via the validity mask).
       attrs: optional (B, V, C) per-vertex attributes to interpolate.
     """
-    fv = gather_faces(verts_pix, faces)  # (B, F, 3, 2)
-    fz = gather_faces(verts_zbar, faces)  # (B, F, 3)
+    # ONE fused gather of [pix, zbar, attrs] per face-vertex (a single
+    # scatter-add in the backward instead of three).
+    payload = [verts_pix, verts_zbar[..., None]]
+    if attrs is not None:
+        payload.append(attrs)
+    fall = gather_faces(jnp.concatenate(payload, axis=-1), faces)
+    fv = fall[..., :2]  # (B, F, 3, 2)
+    fz = fall[..., 2]  # (B, F, 3)
     ones = jnp.ones_like(fz)
     # mat columns are the homogeneous vertices: [x;y;1] per vertex.
     mat = jnp.stack([fv[..., 0], fv[..., 1], ones], axis=-2)  # (B, F, 3, 3)
@@ -167,7 +173,7 @@ def face_planes(
     z_row = jnp.einsum("bfk,bfkc->bfc", fz, minv)[..., None, :]  # (B,F,1,3)
     rows = [edge_rows, u_rows, l_rows, z_row]
     if attrs is not None:
-        fattr = gather_faces(attrs, faces)  # (B, F, 3, C)
+        fattr = fall[..., 3:]  # (B, F, 3, C)
         attr_rows = jnp.einsum("bfkc,bfkm->bfcm", fattr, minv)  # (B,F,C,3)
         rows.append(attr_rows)
     return FacePlanes(rows=jnp.concatenate(rows, axis=-2), valid=valid)
@@ -336,27 +342,27 @@ def soft_rasterize(
     if attrs is None:
         attrs = jnp.zeros(verts_pix.shape[:2] + (0,), verts_pix.dtype)
     zbar = normalize_depth(verts_z)
-    planes = face_planes(verts_pix, zbar, faces, attrs)
 
     if backend == "auto":
         on_tpu = jax.default_backend() not in ("cpu",)
         backend = "pallas" if on_tpu else "xla"
     if backend == "pallas":
-        from hocon.render.raster_pallas import rasterize_planes_pallas
+        from hocon.render.raster_pallas import (
+            rasterize_planes_pallas,
+            sort_faces_by_y,
+        )
 
-        fv = jax.lax.stop_gradient(gather_faces(verts_pix, faces))  # (B,F,3,2)
-        face_bbox = jnp.stack(
-            [
-                jnp.min(fv[..., 1], axis=-1),
-                jnp.max(fv[..., 1], axis=-1),
-                jnp.min(fv[..., 0], axis=-1),
-                jnp.max(fv[..., 0], axis=-1),
-            ],
-            axis=-1,
-        )
+        # Sort the INT face indices by screen y before building planes: the
+        # differentiable (B, F, R, 3) plane rows are then born in sorted
+        # order, so packing needs no take_along_axis on them (and the
+        # backward no scatter) — the sort permutes only integer metadata.
+        faces_sorted, face_bbox = sort_faces_by_y(verts_pix, faces)
+        planes = face_planes(verts_pix, zbar, faces_sorted, attrs)
         return rasterize_planes_pallas(
-            planes, face_bbox, image_size=image_size, sigma=sigma, gamma=gamma
+            planes, face_bbox, image_size=image_size, sigma=sigma,
+            gamma=gamma, presorted=True,
         )
+    planes = face_planes(verts_pix, zbar, faces, attrs)
     return rasterize_planes_xla(
         planes, image_size=image_size, sigma=sigma, gamma=gamma,
         face_chunk=face_chunk,

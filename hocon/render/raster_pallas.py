@@ -4,42 +4,69 @@ Replaces the reference's only native component (neural_renderer's CUDA
 ``forward_face_index_map``/texture-sampling kernels) with a TPU-native
 design:
 
-- Faces are **sorted by screen-space y** and grouped into chunks of
-  ``FACE_CHUNK``; each chunk carries a y-interval (expanded by the coverage
-  cutoff radius) so a pixel-row program skips chunks that cannot influence
-  it (the TPU analogue of NMR's per-pixel face loop, but branch-free inside
-  a chunk and with no atomics).
-- Grid = (batch, row-block of 8 image rows). Within a program, a face chunk
-  is evaluated against the whole (8, W) pixel block at once: coefficients
-  (FC, 1, 1) broadcast against pixel x (1, 1, W) and y (1, 8, 1) on the
-  VPU — faces in the leading dim, pixels in (sublane, lane).
+- The INT face indices are **sorted by screen-space y** before the plane
+  rows are built (``sort_faces_by_y`` — the differentiable tensors never
+  get permuted) and grouped into chunks of ``FACE_CHUNK``; each chunk
+  carries a margin-expanded [y, x] bounding interval so a pixel-block
+  program skips chunks that cannot influence it (the TPU analogue of NMR's
+  per-pixel face loop, but branch-free inside a chunk and with no atomics).
+- Grid = (batch, row-block of 8 rows, lane-block of 128 columns). Within a
+  program, a face chunk is evaluated against the whole (8, 128) pixel
+  block at once: coefficients (FC, 1, 1) broadcast against pixel
+  x (1, 1, XB) and y (1, 8, 1) on the VPU — faces in the leading dim,
+  pixels in (sublane, lane).
 - Aggregation (soft-silhouette log accumulator + streaming max-renormalized
   depth softmax) lives in VMEM scratch; one final pass writes the block.
   Fully deterministic: plain sums, no z-buffer races (SURVEY.md §5.2).
 
 Backward: a HAND-WRITTEN Pallas kernel (``_raster_bwd_kernel``) — the
-mirror structure: grid (batch, face chunk, pixel row-block) with the
-(batch, chunk) gradient block resident in VMEM across its row-block
-revisits; it recomputes the per-(face, pixel) forward quantities and chains
-the output cotangents back to every affine coefficient row. Validated
-against an f64 ``jax.vjp`` of the XLA backend (``_rasterize_sorted_bwd_xla``
-remains available as the reference implementation for tests). This kernel
-is worth ~17x train-step throughput over the autodiff backward.
+same grid as the forward, with the whole (b,) dcoeffs block resident in
+VMEM across the pixel-block sweep; it recomputes the per-(face, pixel)
+forward quantities and chains the output cotangents back to every affine
+coefficient row. Validated against an f64 ``jax.vjp`` of the XLA backend
+(``_rasterize_sorted_bwd_xla`` remains available as the reference
+implementation for tests). This kernel is worth ~17x train-step throughput
+over the autodiff backward.
 """
 
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from hocon.render.raster import FacePlanes, RasterOutput, rasterize_planes_xla
+from hocon.render.raster import (
+    _AREA_EPS,
+    FacePlanes,
+    RasterOutput,
+    gather_faces,
+    rasterize_planes_xla,
+)
 
-FACE_CHUNK = 32
-ROW_BLOCK = 8
+# Swept optimal at 256^2 / ~1.6k faces on v5e (see CLAUDE.md perf notes);
+# env-overridable for re-sweeps without editing module constants (def-time
+# defaults bind these at import, so monkeypatching does NOT work).
+FACE_CHUNK = int(os.environ.get("HOCON_FACE_CHUNK", "32"))
+ROW_BLOCK = int(os.environ.get("HOCON_ROW_BLOCK", "8"))
+# Max pixel-column block per program (lane-axis tile). Chunks are culled
+# against both the row block's y-interval and the lane block's x-interval.
+# Measured at 256px (centered hand): splitting 256 -> 2x128 costs MORE
+# (+3 ms fwd: per-program overhead beats the culling win, since most
+# chunks straddle the image center), so a single lane block is used up to
+# this width and x-splitting only kicks in for wider renders, where a
+# chunk's x-span is a small fraction of the width.
+LANE_BLOCK = int(os.environ.get("HOCON_LANE_BLOCK", "256"))
+
+
+def _lane_block(wp: int) -> int:
+    """Lane-block width for a padded image width (wp a multiple of 128)."""
+    if wp <= LANE_BLOCK:
+        return wp
+    return LANE_BLOCK if wp % LANE_BLOCK == 0 else 128
 # Coverage is sigmoid(-d^2/sigma^2): at 4.5*sigma from a face it is ~1.6e-9
 # (and its gradient smaller still), orders of magnitude below the f32 noise
 # of the accumulation itself — culling chunks beyond this radius changes
@@ -53,11 +80,52 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def sort_faces_by_y(
+    verts_pix: jnp.ndarray, faces: jnp.ndarray
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Sort INT face indices by screen-space y-center (pure scheduling).
+
+    Doing the sort on the integer connectivity BEFORE ``face_planes`` means
+    the differentiable plane rows are built already in sorted order:
+    ``pack_sorted_planes(presorted=True)`` then needs no take_along_axis on
+    the (B, F, R, 3) rows tensor and its backward no scatter. Everything
+    here is stop-gradient.
+
+    Degenerate faces (same |2*area| criterion as ``face_planes``' validity)
+    sort last so inert chunks cluster and cull in one bounds check.
+
+    Returns:
+      faces_sorted: (B, F, 3) int32.
+      face_bbox: (B, F, 4) [ymin, ymax, xmin, xmax] in the sorted order.
+    """
+    vp = jax.lax.stop_gradient(verts_pix)
+    if faces.ndim == 2:
+        faces = jnp.broadcast_to(faces[None], (vp.shape[0],) + faces.shape)
+    fv = gather_faces(vp, faces)  # (B, F, 3, 2)
+    det = (fv[..., 1, 0] - fv[..., 0, 0]) * (fv[..., 2, 1] - fv[..., 0, 1]) - (
+        fv[..., 2, 0] - fv[..., 0, 0]
+    ) * (fv[..., 1, 1] - fv[..., 0, 1])
+    valid = jnp.abs(det) > _AREA_EPS
+    ymin = jnp.min(fv[..., 1], axis=-1)
+    ymax = jnp.max(fv[..., 1], axis=-1)
+    ycenter = jnp.where(valid, 0.5 * (ymin + ymax), jnp.inf)
+    ycenter = jnp.where(jnp.isnan(ycenter), jnp.inf, ycenter)
+    order = jnp.argsort(ycenter, axis=1)  # (B, F)
+    faces_sorted = jnp.take_along_axis(faces, order[:, :, None], axis=1)
+    bbox = jnp.stack(
+        [ymin, ymax, jnp.min(fv[..., 0], axis=-1), jnp.max(fv[..., 0], axis=-1)],
+        axis=-1,
+    )
+    bbox = jnp.take_along_axis(bbox, order[:, :, None], axis=1)
+    return faces_sorted, bbox
+
+
 def pack_sorted_planes(
     planes: FacePlanes,
     face_bbox: jnp.ndarray,
     sigma: float,
     face_chunk: int = FACE_CHUNK,
+    presorted: bool = False,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Sort faces by y-center, bake validity into coeffs, compute chunk bounds.
 
@@ -65,25 +133,31 @@ def pack_sorted_planes(
       planes: FacePlanes with rows (B, F, R, 3).
       face_bbox: (B, F, 4) [ymin, ymax, xmin, xmax] per face (from verts,
         stop-gradient — used only for scheduling).
+      presorted: faces are already y-sorted (``sort_faces_by_y``) — skip
+        the in-place permutation of the differentiable rows tensor.
 
     Returns:
       coeffs: (B, Fp, R*3) float32, faces sorted by y, padded with inert
         faces (all three s-rows constant -1e4 -> zero coverage).
-      ybounds: (B, NC, 2) float32 per-chunk [ymin - margin, ymax + margin].
+      bounds: (B, NC, 4) float32 per-chunk margin-expanded
+        [ymin, ymax, xmin, xmax] for row-block AND lane-block culling.
     """
     rows, valid = planes.rows, planes.valid
     b, f, r, _ = rows.shape
 
     face_bbox = jax.lax.stop_gradient(face_bbox)
-    ycenter = jnp.where(
-        valid > 0, 0.5 * (face_bbox[..., 0] + face_bbox[..., 1]), jnp.inf
-    )
-    # Infinite bboxes (culling disabled) make the key NaN; sort them last.
-    ycenter = jnp.where(jnp.isnan(ycenter), jnp.inf, ycenter)
-    order = jnp.argsort(ycenter, axis=1)  # (B, F)
-    rows = jnp.take_along_axis(rows, order[:, :, None, None], axis=1)
-    valid = jnp.take_along_axis(valid, order, axis=1)
-    bbox = jnp.take_along_axis(face_bbox, order[:, :, None], axis=1)
+    if presorted:
+        bbox = face_bbox
+    else:
+        ycenter = jnp.where(
+            valid > 0, 0.5 * (face_bbox[..., 0] + face_bbox[..., 1]), jnp.inf
+        )
+        # Infinite bboxes (culling disabled) make the key NaN; sort last.
+        ycenter = jnp.where(jnp.isnan(ycenter), jnp.inf, ycenter)
+        order = jnp.argsort(ycenter, axis=1)  # (B, F)
+        rows = jnp.take_along_axis(rows, order[:, :, None, None], axis=1)
+        valid = jnp.take_along_axis(valid, order, axis=1)
+        bbox = jnp.take_along_axis(face_bbox, order[:, :, None], axis=1)
 
     # Bake invalidity: all 3 perpendicular-distance rows -> constant -1e4
     # (outside everywhere, squared distance 1e8 -> p == 0), rest -> 0.
@@ -102,34 +176,39 @@ def pack_sorted_planes(
 
     nc = fp // face_chunk
     margin = CUTOFF_SIGMAS * sigma
-    ymin = jnp.where(valid > 0, bbox[..., 0], jnp.inf)
-    ymax = jnp.where(valid > 0, bbox[..., 1], -jnp.inf)
-    ymin = jnp.pad(ymin, ((0, 0), (0, fp - f)), constant_values=jnp.inf)
-    ymax = jnp.pad(ymax, ((0, 0), (0, fp - f)), constant_values=-jnp.inf)
-    cymin = jnp.min(ymin.reshape(b, nc, face_chunk), axis=-1) - margin
-    cymax = jnp.max(ymax.reshape(b, nc, face_chunk), axis=-1) + margin
-    ybounds = jnp.stack([cymin, cymax], axis=-1).astype(jnp.float32)
-    return coeffs, ybounds
+
+    def chunk_reduce(vals, lo_fill, reducer):
+        v = jnp.where(valid > 0, vals, lo_fill)
+        v = jnp.pad(v, ((0, 0), (0, fp - f)), constant_values=lo_fill)
+        return reducer(v.reshape(b, nc, face_chunk), axis=-1)
+
+    cymin = chunk_reduce(bbox[..., 0], jnp.inf, jnp.min) - margin
+    cymax = chunk_reduce(bbox[..., 1], -jnp.inf, jnp.max) + margin
+    cxmin = chunk_reduce(bbox[..., 2], jnp.inf, jnp.min) - margin
+    cxmax = chunk_reduce(bbox[..., 3], -jnp.inf, jnp.max) + margin
+    bounds = jnp.stack([cymin, cymax, cxmin, cxmax], axis=-1)
+    return coeffs, bounds.astype(jnp.float32)
 
 
 def _raster_kernel(
-    ybounds_ref,  # SMEM (1, NC, 2)
+    bounds_ref,  # SMEM (1, NC, 4)
     coeffs_ref,  # VMEM (1, Fp, R*3)
-    sil_ref,  # VMEM (1, RB, W)
-    attr_ref,  # VMEM (1, C+1, RB, W)   (user attrs + zbar channel)
-    vis_ref,  # VMEM (1, RB, W)
-    mden_ref,  # VMEM (1, 2, RB, W)     (softmax max logit m, rel. denom)
-    acc_ref,  # VMEM scratch (C+4, RB, W): [log_neg, m, den, attr..., z]
+    sil_ref,  # VMEM (1, RB, XB)
+    attr_ref,  # VMEM (1, C+1, RB, XB)  (user attrs + zbar channel)
+    vis_ref,  # VMEM (1, RB, XB)
+    mden_ref,  # VMEM (1, 2, RB, XB)    (softmax max logit m, rel. denom)
+    acc_ref,  # VMEM scratch (C+4, RB, XB): [log_neg, m, den, attr..., z]
     *,
     n_chunks: int,
     n_attr: int,  # C + 1 (incl. depth channel)
-    width: int,
+    width: int,  # lane-block width XB
     face_chunk: int,
     sigma: float,
     gamma: float,
 ):
     rb = ROW_BLOCK
     y_base = (pl.program_id(1) * rb).astype(jnp.float32)
+    x_base = (pl.program_id(2) * width).astype(jnp.float32)
     inv_sigma_sq = 1.0 / (sigma * sigma)
     inv_gamma = 1.0 / gamma
     l_bg = jnp.float32(-1.0 / gamma)  # background logit (p=1, zbar=1)
@@ -144,6 +223,7 @@ def _raster_kernel(
     # iota must be integer-typed on TPU; convert after.
     x = (
         jax.lax.broadcasted_iota(jnp.int32, (1, 1, width), 2).astype(jnp.float32)
+        + x_base
         + 0.5
     )  # pixel-center columns
     y = (
@@ -153,10 +233,14 @@ def _raster_kernel(
     )  # pixel-center rows
 
     def chunk_body(k, _):
-        ymin = ybounds_ref[0, k, 0]
-        ymax = ybounds_ref[0, k, 1]
+        ymin = bounds_ref[0, k, 0]
+        ymax = bounds_ref[0, k, 1]
+        xmin = bounds_ref[0, k, 2]
+        xmax = bounds_ref[0, k, 3]
+        hit_y = jnp.logical_and(y_base + rb > ymin, y_base < ymax)
+        hit_x = jnp.logical_and(x_base + width > xmin, x_base < xmax)
 
-        @pl.when(jnp.logical_and(y_base + rb > ymin, y_base < ymax))
+        @pl.when(jnp.logical_and(hit_y, hit_x))
         def _():
             a = coeffs_ref[0, pl.ds(k * face_chunk, face_chunk), :]  # (FC, 3R)
 
@@ -214,42 +298,44 @@ def _raster_kernel(
     mden_ref[0, 1] = den
 
 
-def _forward_padded(coeffs, ybounds, image_size, sigma, gamma, n_attr):
+def _forward_padded(coeffs, bounds, image_size, sigma, gamma, n_attr):
     """Run the forward kernel; returns PADDED (sil, attr, vis, mden)."""
     b, fp, r3 = coeffs.shape
     h, w = image_size
     wp = _round_up(w, 128)
     hp = _round_up(h, ROW_BLOCK)
-    nc = ybounds.shape[1]
+    nc = bounds.shape[1]
+    xb = _lane_block(wp)
     interpret = jax.default_backend() == "cpu"
 
     kernel = functools.partial(
         _raster_kernel,
         n_chunks=nc,
         n_attr=n_attr,
-        width=wp,
+        width=xb,
         face_chunk=FACE_CHUNK,
         sigma=sigma,
         gamma=gamma,
     )
     return pl.pallas_call(
         kernel,
-        grid=(b, hp // ROW_BLOCK),
+        grid=(b, hp // ROW_BLOCK, wp // xb),
         in_specs=[
-            pl.BlockSpec((1, nc, 2), lambda bi, yi: (bi, 0, 0),
+            pl.BlockSpec((1, nc, 4), lambda bi, yi, xi: (bi, 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, fp, r3), lambda bi, yi: (bi, 0, 0),
+            pl.BlockSpec((1, fp, r3), lambda bi, yi, xi: (bi, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, ROW_BLOCK, wp), lambda bi, yi: (bi, yi, 0),
+            pl.BlockSpec((1, ROW_BLOCK, xb), lambda bi, yi, xi: (bi, yi, xi),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n_attr, ROW_BLOCK, wp),
-                         lambda bi, yi: (bi, 0, yi, 0),
+            pl.BlockSpec((1, n_attr, ROW_BLOCK, xb),
+                         lambda bi, yi, xi: (bi, 0, yi, xi),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, ROW_BLOCK, wp), lambda bi, yi: (bi, yi, 0),
+            pl.BlockSpec((1, ROW_BLOCK, xb), lambda bi, yi, xi: (bi, yi, xi),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 2, ROW_BLOCK, wp), lambda bi, yi: (bi, 0, yi, 0),
+            pl.BlockSpec((1, 2, ROW_BLOCK, xb),
+                         lambda bi, yi, xi: (bi, 0, yi, xi),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
@@ -259,72 +345,74 @@ def _forward_padded(coeffs, ybounds, image_size, sigma, gamma, n_attr):
             jax.ShapeDtypeStruct((b, 2, hp, wp), jnp.float32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((n_attr + 3, ROW_BLOCK, wp), jnp.float32)
+            pltpu.VMEM((n_attr + 3, ROW_BLOCK, xb), jnp.float32)
         ],
         interpret=interpret,
-    )(ybounds, coeffs)
+    )(bounds, coeffs)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
-def _rasterize_sorted(coeffs, ybounds, image_size, sigma, gamma, n_attr):
+def _rasterize_sorted(coeffs, bounds, image_size, sigma, gamma, n_attr):
     h, w = image_size
     sil, attr, vis, _ = _forward_padded(
-        coeffs, ybounds, image_size, sigma, gamma, n_attr
+        coeffs, bounds, image_size, sigma, gamma, n_attr
     )
     return sil[:, :h, :w], attr[:, :, :h, :w], vis[:, :h, :w]
 
 
-def _rasterize_sorted_fwd(coeffs, ybounds, image_size, sigma, gamma, n_attr):
+def _rasterize_sorted_fwd(coeffs, bounds, image_size, sigma, gamma, n_attr):
     h, w = image_size
     sil, attr, vis, mden = _forward_padded(
-        coeffs, ybounds, image_size, sigma, gamma, n_attr
+        coeffs, bounds, image_size, sigma, gamma, n_attr
     )
     out = (sil[:, :h, :w], attr[:, :, :h, :w], vis[:, :h, :w])
-    return out, (coeffs, ybounds, sil, attr, vis, mden)
+    return out, (coeffs, bounds, sil, attr, vis, mden)
 
 
 def _raster_bwd_kernel(
-    ybounds_ref,  # SMEM (1, NC, 2)
-    coeffs_ref,  # VMEM (1, Fp, 3R)       block @ (b,) — resident across yi
-    sil_ref,  # VMEM (1, RB, Wp)          @ (b, yi)
-    attr_ref,  # VMEM (1, C+1, RB, Wp)    @ (b, yi)
-    vis_ref,  # VMEM (1, RB, Wp)
-    mden_ref,  # VMEM (1, 2, RB, Wp)
-    gsil_ref,  # VMEM (1, RB, Wp)
-    gattr_ref,  # VMEM (1, C+1, RB, Wp)
-    gvis_ref,  # VMEM (1, RB, Wp)
-    dcoeffs_ref,  # out VMEM (1, Fp, 3R)  block @ (b,) — revisited over yi
+    bounds_ref,  # SMEM (1, NC, 4)
+    coeffs_ref,  # VMEM (1, Fp, 3R)       block @ (b,) — resident across yi/xi
+    sil_ref,  # VMEM (1, RB, XB)          @ (b, yi, xi)
+    attr_ref,  # VMEM (1, C+1, RB, XB)    @ (b, yi, xi)
+    vis_ref,  # VMEM (1, RB, XB)
+    mden_ref,  # VMEM (1, 2, RB, XB)
+    gsil_ref,  # VMEM (1, RB, XB)
+    gattr_ref,  # VMEM (1, C+1, RB, XB)
+    gvis_ref,  # VMEM (1, RB, XB)
+    dcoeffs_ref,  # out VMEM (1, Fp, 3R)  block @ (b,) — revisited over yi/xi
     *,
     n_chunks: int,
     n_attr: int,
-    width: int,
+    width: int,  # lane-block width XB
     face_chunk: int,
     sigma: float,
     gamma: float,
 ):
     """Gradient of the soft raster w.r.t. the face-plane coefficients.
 
-    Grid (batch, pixel row-block) — the same shape as the forward. The full
-    (b,) dcoeffs block stays resident in VMEM across the row-block sweep
-    and accumulates; inside a program, a chunk loop skips face chunks whose
-    y-interval misses this row block (scalar compare — unlike the previous
-    (b, chunk, row) grid, an inactive chunk costs no block DMA and no
-    program launch). Deterministic: one program sequence owns each output
-    block.
+    Grid (batch, pixel row-block, lane-block) — the same shape as the
+    forward. The full (b,) dcoeffs block stays resident in VMEM across the
+    pixel-block sweep and accumulates; inside a program, a chunk loop skips
+    face chunks whose y/x-interval misses this pixel block (scalar compare
+    — an inactive chunk costs no block DMA and no program launch).
+    Deterministic: one program sequence owns each output block.
     """
     yi = pl.program_id(1)
+    xi = pl.program_id(2)
     rb = ROW_BLOCK
     inv_sigma_sq = 1.0 / (sigma * sigma)
     inv_gamma = 1.0 / gamma
 
-    @pl.when(yi == 0)
+    @pl.when(jnp.logical_and(yi == 0, xi == 0))
     def _():
         dcoeffs_ref[...] = jnp.zeros_like(dcoeffs_ref)
 
     y0 = (yi * rb).astype(jnp.float32)
+    x0 = (xi * width).astype(jnp.float32)
 
     x = (
         jax.lax.broadcasted_iota(jnp.int32, (1, 1, width), 2).astype(jnp.float32)
+        + x0
         + 0.5
     )
     y = (
@@ -347,13 +435,17 @@ def _raster_bwd_kernel(
 
     def chunk_body(k, _):
         a = coeffs_ref[0, pl.ds(k * face_chunk, face_chunk), :]  # (FC, 3R)
-        ymin = ybounds_ref[0, k, 0]
-        ymax = ybounds_ref[0, k, 1]
+        ymin = bounds_ref[0, k, 0]
+        ymax = bounds_ref[0, k, 1]
+        xmin = bounds_ref[0, k, 2]
+        xmax = bounds_ref[0, k, 3]
+        hit_y = jnp.logical_and(y0 + rb > ymin, y0 < ymax)
+        hit_x = jnp.logical_and(x0 + width > xmin, x0 < xmax)
 
         def coeff(r, j):
             return a[:, 3 * r + j : 3 * r + j + 1][:, :, None]  # (FC, 1, 1)
 
-        @pl.when(jnp.logical_and(y0 + rb > ymin, y0 < ymax))
+        @pl.when(jnp.logical_and(hit_y, hit_x))
         def _():
             def row_eval(r):
                 return coeff(r, 0) * x + (coeff(r, 1) * y + coeff(r, 2))
@@ -450,12 +542,12 @@ def _raster_bwd_kernel(
 
 
 def _backward_pallas(residual, grads, image_size, sigma, gamma, n_attr):
-    coeffs, ybounds, sil, attr, vis, mden = residual
+    coeffs, bounds, sil, attr, vis, mden = residual
     g_sil, g_attr, g_vis = grads
     b, fp, r3 = coeffs.shape
     h, w = image_size
     hp, wp = sil.shape[1], sil.shape[2]
-    nc = ybounds.shape[1]
+    nc = bounds.shape[1]
     interpret = jax.default_backend() == "cpu"
 
     # Pad incoming (cropped) grads back to kernel-padded size with zeros.
@@ -463,50 +555,51 @@ def _backward_pallas(residual, grads, image_size, sigma, gamma, n_attr):
     g_attr = jnp.pad(g_attr, ((0, 0), (0, 0), (0, hp - h), (0, wp - w)))
     g_vis = jnp.pad(g_vis, ((0, 0), (0, hp - h), (0, wp - w)))
 
+    xb = _lane_block(wp)
     kernel = functools.partial(
         _raster_bwd_kernel,
         n_chunks=nc,
         n_attr=n_attr,
-        width=wp,
+        width=xb,
         face_chunk=FACE_CHUNK,
         sigma=sigma,
         gamma=gamma,
     )
     rbk = ROW_BLOCK
-    img_spec = pl.BlockSpec((1, rbk, wp), lambda bi, yi: (bi, yi, 0),
+    img_spec = pl.BlockSpec((1, rbk, xb), lambda bi, yi, xi: (bi, yi, xi),
                             memory_space=pltpu.VMEM)
     chan_spec = pl.BlockSpec(
-        (1, n_attr, rbk, wp), lambda bi, yi: (bi, 0, yi, 0),
+        (1, n_attr, rbk, xb), lambda bi, yi, xi: (bi, 0, yi, xi),
         memory_space=pltpu.VMEM,
     )
     dcoeffs = pl.pallas_call(
         kernel,
-        grid=(b, hp // rbk),
+        grid=(b, hp // rbk, wp // xb),
         in_specs=[
-            pl.BlockSpec((1, nc, 2), lambda bi, yi: (bi, 0, 0),
+            pl.BlockSpec((1, nc, 4), lambda bi, yi, xi: (bi, 0, 0),
                          memory_space=pltpu.SMEM),
             # Whole coefficient table resident per batch element (fetched
-            # once per b, constant across the row sweep).
-            pl.BlockSpec((1, fp, r3), lambda bi, yi: (bi, 0, 0),
+            # once per b, constant across the pixel-block sweep).
+            pl.BlockSpec((1, fp, r3), lambda bi, yi, xi: (bi, 0, 0),
                          memory_space=pltpu.VMEM),
             img_spec,
             chan_spec,
             img_spec,
-            pl.BlockSpec((1, 2, rbk, wp), lambda bi, yi: (bi, 0, yi, 0),
+            pl.BlockSpec((1, 2, rbk, xb), lambda bi, yi, xi: (bi, 0, yi, xi),
                          memory_space=pltpu.VMEM),
             img_spec,
             chan_spec,
             img_spec,
         ],
         # Output block depends only on b: it stays resident in VMEM across
-        # the row-block sweep and accumulates (zeroed at yi == 0).
+        # the pixel-block sweep and accumulates (zeroed at yi == xi == 0).
         out_specs=pl.BlockSpec(
-            (1, fp, r3), lambda bi, yi: (bi, 0, 0),
+            (1, fp, r3), lambda bi, yi, xi: (bi, 0, 0),
             memory_space=pltpu.VMEM,
         ),
         out_shape=jax.ShapeDtypeStruct((b, fp, r3), jnp.float32),
         interpret=interpret,
-    )(ybounds, coeffs, sil, attr, vis, mden, g_sil, g_attr, g_vis)
+    )(bounds, coeffs, sil, attr, vis, mden, g_sil, g_attr, g_vis)
     return dcoeffs
 
 
@@ -551,11 +644,14 @@ def rasterize_planes_pallas(
     image_size: tuple[int, int] = (256, 256),
     sigma: float = 1.0,
     gamma: float = 1.0 / 40.0,
+    presorted: bool = False,
 ) -> RasterOutput:
     """Rasterize prepared face planes with the Pallas TPU kernel.
 
     ``face_bbox`` (B, F, 4) [ymin, ymax, xmin, xmax] enables chunk culling;
-    if None, bounds are conservatively infinite (no culling).
+    if None, bounds are conservatively infinite (no culling). With
+    ``presorted`` the planes were built from ``sort_faces_by_y`` output and
+    packing skips the row permutation.
     """
     rows, valid = planes.rows, planes.valid
     b, f, r, _ = rows.shape
@@ -570,9 +666,11 @@ def rasterize_planes_pallas(
             ],
             axis=-1,
         )
-    coeffs, ybounds = pack_sorted_planes(planes, face_bbox, sigma)
+    coeffs, bounds = pack_sorted_planes(
+        planes, face_bbox, sigma, presorted=presorted
+    )
     sil, attr, vis = _rasterize_sorted(
-        coeffs, ybounds, image_size, sigma, gamma, n_attr
+        coeffs, bounds, image_size, sigma, gamma, n_attr
     )
     return RasterOutput(
         sil=sil,

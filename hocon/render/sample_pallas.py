@@ -73,60 +73,82 @@ def _flat_iotas(w: int, c: int):
     return col, ch_masks
 
 
+def _flatten_rows(xy_ref, j):
+    """(1, 2, RB, Wq) coord plane j -> (1, RB*Wq) via lane-axis concat.
+
+    Explicit concat of static row slices (a (RB, Wq) -> (1, RB*Wq) reshape
+    would merge sublanes into lanes — a Mosaic relayout)."""
+    return jnp.concatenate(
+        [xy_ref[0, j, r : r + 1, :] for r in range(ROW_BLOCK)], axis=1
+    ) - jnp.float32(0.5)
+
+
 def _sample_kernel(imgT_ref, xy_ref, out_ref, *, h, w, c):
-    """Forward: out (1, C, RB, Wq) from imgT (1, W*C, H) and xy (1, 2, RB, Wq)."""
+    """Forward: out (1, C, RB, Wq) from imgT (1, W*C, H) and xy (1, 2, RB, Wq).
+
+    All ROW_BLOCK output rows are folded into the lane axis (P = RB*Wq), so
+    the row selection is ONE (W*C, H) @ (H, P) matmul per program instead
+    of RB narrow ones — ~8x larger N amortizes the MXU weight load."""
+    wq = xy_ref.shape[-1]
     iota_h = jax.lax.broadcasted_iota(jnp.int32, (h, 1), 0).astype(jnp.float32)
     col, ch_masks = _flat_iotas(w, c)
     imgT = imgT_ref[0]  # (W*C, H) bf16
-    for r in range(ROW_BLOCK):
-        x = xy_ref[0, 0, r : r + 1, :] - jnp.float32(0.5)  # (1, Wq)
-        y = xy_ref[0, 1, r : r + 1, :] - jnp.float32(0.5)
-        ohT, _, _ = _hat_and_mask(iota_h, y, 0.0, h - 1.0)  # (H, Wq)
-        rowsT = jax.lax.dot_general(
-            imgT,
-            ohT.astype(imgT.dtype),
-            (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # (W*C, Wq) — y-interpolated flat columns
-        wxc, _, _ = _hat_and_mask(col, x, 0.0, w - 1.0)  # (W*C, Wq)
-        prod = rowsT * wxc
-        for ci in range(c):
-            out_ref[0, ci, r : r + 1, :] = jnp.sum(
-                prod * ch_masks[ci], axis=0, keepdims=True
-            )
+    x = _flatten_rows(xy_ref, 0)  # (1, RB*Wq)
+    y = _flatten_rows(xy_ref, 1)
+    ohT, _, _ = _hat_and_mask(iota_h, y, 0.0, h - 1.0)  # (H, RB*Wq)
+    rowsT = jax.lax.dot_general(
+        imgT,
+        ohT.astype(imgT.dtype),
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (W*C, RB*Wq) — y-interpolated flat columns
+    wxc, _, _ = _hat_and_mask(col, x, 0.0, w - 1.0)  # (W*C, RB*Wq)
+    prod = rowsT * wxc
+    for ci in range(c):
+        s = jnp.sum(prod * ch_masks[ci], axis=0, keepdims=True)  # (1, RB*Wq)
+        for r in range(ROW_BLOCK):
+            out_ref[0, ci, r : r + 1, :] = s[:, r * wq : (r + 1) * wq]
 
 
 def _sample_bwd_kernel(imgT_ref, xy_ref, g_ref, dxy_ref, *, h, w, c):
-    """Backward: dcoords (1, 2, RB, Wq) from the output cotangent g."""
+    """Backward: dcoords (1, 2, RB, Wq) from the output cotangent g.
+
+    Same row-folding as the forward: both dots run once at (H, RB*Wq)."""
+    wq = xy_ref.shape[-1]
     iota_h = jax.lax.broadcasted_iota(jnp.int32, (h, 1), 0).astype(jnp.float32)
     col, ch_masks = _flat_iotas(w, c)
     imgT = imgT_ref[0]
+    x = _flatten_rows(xy_ref, 0)  # (1, RB*Wq)
+    y = _flatten_rows(xy_ref, 1)
+    ohT, dohT, ymask = _hat_and_mask(iota_h, y, 0.0, h - 1.0)
+    wxc, dwxc, xmask = _hat_and_mask(col, x, 0.0, w - 1.0)
+    # Cotangent broadcast to the flat row axis: gflat[k, p] = g[k%c, p].
+    gflat = None
+    for ci in range(c):
+        g_row = jnp.concatenate(
+            [g_ref[0, ci, r : r + 1, :] for r in range(ROW_BLOCK)], axis=1
+        )  # (1, RB*Wq)
+        term = ch_masks[ci] * g_row
+        gflat = term if gflat is None else gflat + term  # (W*C, RB*Wq)
+
+    rowsT = jax.lax.dot_general(
+        imgT, ohT.astype(imgT.dtype), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    gx = jnp.sum(rowsT * gflat * dwxc, axis=0, keepdims=True)  # (1, RB*Wq)
+
+    # y gradient through the y-lerp weights: drows/dy = imgT @ dohT.
+    dtT = jax.lax.dot_general(
+        imgT, dohT.astype(imgT.dtype), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    gy = jnp.sum(dtT * gflat * wxc, axis=0, keepdims=True)
+
+    gx = gx * xmask
+    gy = gy * ymask
     for r in range(ROW_BLOCK):
-        x = xy_ref[0, 0, r : r + 1, :] - jnp.float32(0.5)
-        y = xy_ref[0, 1, r : r + 1, :] - jnp.float32(0.5)
-        ohT, dohT, ymask = _hat_and_mask(iota_h, y, 0.0, h - 1.0)
-        wxc, dwxc, xmask = _hat_and_mask(col, x, 0.0, w - 1.0)
-        # Cotangent broadcast to the flat row axis: gflat[k, p] = g[k%c, p].
-        gflat = None
-        for ci in range(c):
-            term = ch_masks[ci] * g_ref[0, ci, r : r + 1, :]
-            gflat = term if gflat is None else gflat + term  # (W*C, Wq)
-
-        rowsT = jax.lax.dot_general(
-            imgT, ohT.astype(imgT.dtype), (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        gx = jnp.sum(rowsT * gflat * dwxc, axis=0, keepdims=True)  # (1, Wq)
-
-        # y gradient through the y-lerp weights: drows/dy = imgT @ dohT.
-        dtT = jax.lax.dot_general(
-            imgT, dohT.astype(imgT.dtype), (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        gy = jnp.sum(dtT * gflat * wxc, axis=0, keepdims=True)
-
-        dxy_ref[0, 0, r : r + 1, :] = gx * xmask
-        dxy_ref[0, 1, r : r + 1, :] = gy * ymask
+        dxy_ref[0, 0, r : r + 1, :] = gx[:, r * wq : (r + 1) * wq]
+        dxy_ref[0, 1, r : r + 1, :] = gy[:, r * wq : (r + 1) * wq]
 
 
 def _pad_queries(xy: jnp.ndarray):

@@ -59,6 +59,9 @@ def main():
     p.add_argument("--steps", type=int, default=30)
     args = p.parse_args()
 
+    from hocon.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
     import jax
     import jax.numpy as jnp
 
