@@ -8,21 +8,26 @@ see ``warp.bilinear_sample_mm``) is compute-cheap but XLA round-trips the
 (P, W*C) row tensor through HBM. This kernel fuses the whole pipeline in
 VMEM:
 
-  for each block of output rows:
-    ohT   = hat(iota_H - y)          (H, P)   y-lerp weights, bf16
-    rowsT = imgT @ ohT               (W*C, P) MXU — y-interpolated columns
-    wxT   = hat(iota_W - x)          (W, P)   x-lerp weights
-    out   = sum_w rows3 * wxT        (C, P)   VPU reduction
+  for each block of ROW_BLOCK output rows (folded into one lane axis
+  P = RB*Wq):
+    ohT   = hat(iota_H - y)          (H, P)    y-lerp weights, bf16
+    rowsT = imgT @ ohT               (C*W, P)  MXU — y-interpolated columns
+    wxT   = tile_c(hat(iota_W - x))  (C*W, P)  x-lerp weights
+    out_c = sum_w (rowsT * wxT)[c]   (1, P)    contiguous sublane reduction
 
 ``hat(d) = max(0, 1 - |d|)`` with coordinates clamped to the valid range
 reproduces exactly the border-clamp bilinear semantics of
 ``warp.bilinear_sample_gather`` (same as torch grid_sample
 padding_mode='border', the reference's warp sampler).
 
-The image lives in VMEM transposed as (W*C, H) bf16 (393 KB at 256^2x3)
-and stays resident across the row-block grid dimension. The backward is a
-hand-written mirror kernel (2 matmuls: recompute rowsT + the y-derivative
-rows) returning dcoords; the image is data (no gradient needed).
+The image lives in VMEM transposed CHANNEL-MAJOR as (C*W, H) bf16 (393 KB
+at 256^2x3) and stays resident across the row-block grid dimension;
+c-major means each output channel is a CONTIGUOUS (W, P) sublane slice of
+the product — no per-channel one-hot masking passes — and the x-hat
+weights are computed once at (W, P) and tiled, not recomputed at (C*W, P).
+The backward is a hand-written mirror kernel (2 matmuls: recompute rowsT +
+the y-derivative rows) returning dcoords; the image is data (no gradient
+needed).
 
 Reference parity: torch ``F.grid_sample`` used by the consistency warp,
 SURVEY.md §3.2 step (3).
@@ -60,19 +65,6 @@ def _hat_and_mask(iota, coord, lo, hi):
     return w, dw, in_rng
 
 
-def _flat_iotas(w: int, c: int):
-    """Static helpers over the flat (W*C) row axis: per-row source-column
-    index (k // c, as float) and per-channel one-hot masks (k % c == ci).
-
-    Keeps everything 2-D: reshaping (W*C, Wq) -> (W, C, Wq) in-kernel would
-    shrink the sublane dim to C=3 and force a Mosaic relayout.
-    """
-    k = jax.lax.broadcasted_iota(jnp.int32, (w * c, 1), 0)
-    col = (k // c).astype(jnp.float32)  # (W*C, 1)
-    ch_masks = [(k % c == ci).astype(jnp.float32) for ci in range(c)]
-    return col, ch_masks
-
-
 def _flatten_rows(xy_ref, j):
     """(1, 2, RB, Wq) coord plane j -> (1, RB*Wq) via lane-axis concat.
 
@@ -83,16 +75,21 @@ def _flatten_rows(xy_ref, j):
     ) - jnp.float32(0.5)
 
 
+def _tile_c(mat, c):
+    """Tile (W, P) sublane-wise to (C*W, P) — matches the c-major flat axis."""
+    return jnp.concatenate([mat] * c, axis=0) if c > 1 else mat
+
+
 def _sample_kernel(imgT_ref, xy_ref, out_ref, *, h, w, c):
-    """Forward: out (1, C, RB, Wq) from imgT (1, W*C, H) and xy (1, 2, RB, Wq).
+    """Forward: out (1, C, RB, Wq) from imgT (1, C*W, H) and xy (1, 2, RB, Wq).
 
     All ROW_BLOCK output rows are folded into the lane axis (P = RB*Wq), so
-    the row selection is ONE (W*C, H) @ (H, P) matmul per program instead
+    the row selection is ONE (C*W, H) @ (H, P) matmul per program instead
     of RB narrow ones — ~8x larger N amortizes the MXU weight load."""
     wq = xy_ref.shape[-1]
     iota_h = jax.lax.broadcasted_iota(jnp.int32, (h, 1), 0).astype(jnp.float32)
-    col, ch_masks = _flat_iotas(w, c)
-    imgT = imgT_ref[0]  # (W*C, H) bf16
+    iota_w = jax.lax.broadcasted_iota(jnp.int32, (w, 1), 0).astype(jnp.float32)
+    imgT = imgT_ref[0]  # (C*W, H) bf16, c-major
     x = _flatten_rows(xy_ref, 0)  # (1, RB*Wq)
     y = _flatten_rows(xy_ref, 1)
     ohT, _, _ = _hat_and_mask(iota_h, y, 0.0, h - 1.0)  # (H, RB*Wq)
@@ -101,11 +98,12 @@ def _sample_kernel(imgT_ref, xy_ref, out_ref, *, h, w, c):
         ohT.astype(imgT.dtype),
         (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )  # (W*C, RB*Wq) — y-interpolated flat columns
-    wxc, _, _ = _hat_and_mask(col, x, 0.0, w - 1.0)  # (W*C, RB*Wq)
-    prod = rowsT * wxc
+    )  # (C*W, RB*Wq) — y-interpolated flat columns
+    wx, _, _ = _hat_and_mask(iota_w, x, 0.0, w - 1.0)  # (W, RB*Wq)
+    prod = rowsT * _tile_c(wx, c)
     for ci in range(c):
-        s = jnp.sum(prod * ch_masks[ci], axis=0, keepdims=True)  # (1, RB*Wq)
+        # c-major: channel ci is the contiguous sublane block [ci*w, ci*w+w).
+        s = jnp.sum(prod[ci * w : (ci + 1) * w], axis=0, keepdims=True)
         for r in range(ROW_BLOCK):
             out_ref[0, ci, r : r + 1, :] = s[:, r * wq : (r + 1) * wq]
 
@@ -116,33 +114,41 @@ def _sample_bwd_kernel(imgT_ref, xy_ref, g_ref, dxy_ref, *, h, w, c):
     Same row-folding as the forward: both dots run once at (H, RB*Wq)."""
     wq = xy_ref.shape[-1]
     iota_h = jax.lax.broadcasted_iota(jnp.int32, (h, 1), 0).astype(jnp.float32)
-    col, ch_masks = _flat_iotas(w, c)
+    iota_w = jax.lax.broadcasted_iota(jnp.int32, (w, 1), 0).astype(jnp.float32)
     imgT = imgT_ref[0]
     x = _flatten_rows(xy_ref, 0)  # (1, RB*Wq)
     y = _flatten_rows(xy_ref, 1)
     ohT, dohT, ymask = _hat_and_mask(iota_h, y, 0.0, h - 1.0)
-    wxc, dwxc, xmask = _hat_and_mask(col, x, 0.0, w - 1.0)
-    # Cotangent broadcast to the flat row axis: gflat[k, p] = g[k%c, p].
-    gflat = None
-    for ci in range(c):
-        g_row = jnp.concatenate(
-            [g_ref[0, ci, r : r + 1, :] for r in range(ROW_BLOCK)], axis=1
-        )  # (1, RB*Wq)
-        term = ch_masks[ci] * g_row
-        gflat = term if gflat is None else gflat + term  # (W*C, RB*Wq)
+    wx, dwx, xmask = _hat_and_mask(iota_w, x, 0.0, w - 1.0)
+    # Cotangent on the c-major flat axis: gflat[ci*w + k, p] = g[ci, p].
+    gflat = jnp.concatenate(
+        [
+            jnp.broadcast_to(
+                jnp.concatenate(
+                    [g_ref[0, ci, r : r + 1, :] for r in range(ROW_BLOCK)],
+                    axis=1,
+                ),
+                (w, ROW_BLOCK * wq),
+            )
+            for ci in range(c)
+        ],
+        axis=0,
+    )  # (C*W, RB*Wq)
 
     rowsT = jax.lax.dot_general(
         imgT, ohT.astype(imgT.dtype), (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    gx = jnp.sum(rowsT * gflat * dwxc, axis=0, keepdims=True)  # (1, RB*Wq)
+    gx = jnp.sum(
+        rowsT * gflat * _tile_c(dwx, c), axis=0, keepdims=True
+    )  # (1, RB*Wq)
 
     # y gradient through the y-lerp weights: drows/dy = imgT @ dohT.
     dtT = jax.lax.dot_general(
         imgT, dohT.astype(imgT.dtype), (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    gy = jnp.sum(dtT * gflat * wxc, axis=0, keepdims=True)
+    gy = jnp.sum(dtT * gflat * _tile_c(wx, c), axis=0, keepdims=True)
 
     gx = gx * xmask
     gy = gy * ymask
@@ -239,9 +245,8 @@ def bilinear_sample_pallas(
     mm_dtype = (
         jnp.bfloat16 if jax.default_backend() not in ("cpu",) else jnp.float32
     )
-    imgT = jnp.swapaxes(
-        image.reshape(b, h, w * c), 1, 2
-    ).astype(mm_dtype)  # (B, W*C, H)
+    # CHANNEL-MAJOR flat layout: (B, C*W, H), row ci*W + wpos.
+    imgT = image.transpose(0, 3, 2, 1).reshape(b, c * w, h).astype(mm_dtype)
     xy = jnp.moveaxis(coords, -1, 1)  # (B, 2, Hq, Wq)
     xy, hp, wp = _pad_queries(xy)
     out = _sample_padded(imgT, xy, (h, w, c))  # (B, C, hp, wp)
