@@ -263,15 +263,18 @@ def _raster_kernel(
             signed_sq = jnp.where(d_in > 0, d_in * d_in, -dist2)
             logits = signed_sq * inv_sigma_sq
             zbar = jnp.clip(row_eval(9), 0.0, 1.0)
-            # log(p) - z/gamma, with log(sigmoid(x)) == -softplus(-x).
-            l = -jax.nn.softplus(-logits) - zbar * inv_gamma  # (FC, RB, W)
+            # ONE softplus serves both accumulators (same identity as the
+            # XLA backend — raster.py _aggregate_chunk): log(sigmoid(x))
+            # == -sp, log(1 - sigmoid(x)) == -(x + sp), sp = softplus(-x).
+            sp = jax.nn.softplus(-logits)
+            l = -sp - zbar * inv_gamma  # (FC, RB, W)
 
             m_old = acc_ref[1:2]
             m_new = jnp.maximum(m_old, jnp.max(l, axis=0, keepdims=True))
             scale = jnp.exp(m_old - m_new)
             w = jnp.exp(l - m_new)  # (FC, RB, W)
 
-            acc_ref[0:1] += jnp.sum(-jax.nn.softplus(logits), axis=0, keepdims=True)
+            acc_ref[0:1] += jnp.sum(-(logits + sp), axis=0, keepdims=True)
             acc_ref[1:2] = m_new
             acc_ref[2:3] = acc_ref[2:3] * scale + jnp.sum(w, axis=0, keepdims=True)
             for c in range(n_attr - 1):
@@ -450,6 +453,11 @@ def _raster_bwd_kernel(
             def row_eval(r):
                 return coeff(r, 0) * x + (coeff(r, 1) * y + coeff(r, 2))
 
+            # Per-row (FC, 3) gradient pieces, written back to dcoeffs in
+            # ONE concatenated += per chunk instead of 3 RMW stores per
+            # add_row (36 dynamic-slice VMEM round-trips -> 1).
+            row_grads = {}
+
             def add_row(r, dval):  # dval: (FC, RB, W)
                 # Two-pass reduction: the x-weight varies only along lanes
                 # and the y-weight only along sublanes, so reduce sublanes
@@ -460,13 +468,7 @@ def _raster_bwd_kernel(
                 da = jnp.sum(s_w * x[0], axis=1, keepdims=True)  # (FC, 1)
                 db = jnp.sum(t_y * y_col[:, 0][None, :], axis=1, keepdims=True)
                 dc = jnp.sum(s_w, axis=1, keepdims=True)
-                base = k * face_chunk
-                dcoeffs_ref[0, pl.ds(base, face_chunk),
-                            3 * r : 3 * r + 1] += da
-                dcoeffs_ref[0, pl.ds(base, face_chunk),
-                            3 * r + 1 : 3 * r + 2] += db
-                dcoeffs_ref[0, pl.ds(base, face_chunk),
-                            3 * r + 2 : 3 * r + 3] += dc
+                row_grads[r] = jnp.concatenate([da, db, dc], axis=1)  # (FC,3)
 
             # --- recompute forward per-(face, pixel) quantities ---
             s = [row_eval(0), row_eval(1), row_eval(2)]
@@ -535,6 +537,12 @@ def _raster_bwd_kernel(
                 dov = -2.0 * ovs[ke] * sel_out * dss  # dL/d(ov)
                 add_row(3 + ke, dov * (take_b - take_a))
                 add_row(6 + ke, dov * (-take_b))
+
+            n_rows = 10 + (n_attr - 1)
+            dg = jnp.concatenate(
+                [row_grads[r] for r in range(n_rows)], axis=1
+            )  # (FC, 3R)
+            dcoeffs_ref[0, pl.ds(k * face_chunk, face_chunk), :] += dg
 
         return 0
 

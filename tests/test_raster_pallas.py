@@ -149,6 +149,34 @@ def test_pallas_nonsquare_and_width_padding():
     np.testing.assert_allclose(np.asarray(out_p.attr), np.asarray(out_x.attr), atol=2e-4)
 
 
+def test_pallas_wide_image_multi_lane_blocks():
+    """W wide enough to split into multiple lane blocks (grid x-dim > 1)
+    exercises per-chunk x-interval culling and the dcoeffs revisit over
+    both grid axes — forward AND gradients must still match XLA."""
+    from hocon.render import raster_pallas as RP
+
+    vp, vz, f, a = _scene(seed=4, b=1, v=12, f=10, spread=30.0)
+    # Spread faces across the width so different chunks hit different
+    # lane blocks (and some chunk/block pairs are culled).
+    vp = vp + jnp.asarray([300.0, 0.0])[None, None] * jnp.linspace(
+        0.0, 1.0, 12
+    )[None, :, None]
+    hw = (16, 384)
+    assert RP._lane_block(384) == 128  # 3 lane blocks
+    out_x = _render("xla", vp, vz, f, a, hw=hw)
+    out_p = _render("pallas", vp, vz, f, a, hw=hw)
+    np.testing.assert_allclose(np.asarray(out_p.sil), np.asarray(out_x.sil), atol=1e-4)
+
+    def loss(backend, vp_, a_):
+        out = _render(backend, vp_, vz, f, a_, hw=hw)
+        return jnp.sum(out.sil**2) + jnp.sum(out.attr**2) + jnp.sum(out.vis**2)
+
+    gx = jax.grad(lambda vp_, a_: loss("xla", vp_, a_), argnums=(0, 1))(vp, a)
+    gp = jax.grad(lambda vp_, a_: loss("pallas", vp_, a_), argnums=(0, 1))(vp, a)
+    for x, p in zip(gx, gp):
+        np.testing.assert_allclose(np.asarray(p), np.asarray(x), atol=2e-3, rtol=2e-3)
+
+
 def test_pallas_mano_mesh(mano_model):
     import hocon.geometry.mano as M
     from hocon.geometry.project import persp_project
