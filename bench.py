@@ -53,12 +53,22 @@ def main():
     n_chips = jax.device_count()
     log(f"devices: {jax.devices()} (n={n_chips})")
 
+    # Optional realistic-object variant: `python bench.py --obj_faces 1280`
+    # renders a YCB-scale (decimated) sphere instead of the 12-face box, so
+    # the number reflects real-data raster workloads (SURVEY.md §2.2). The
+    # bare invocation (the driver's) keeps the box for cross-round
+    # comparability.
+    obj_faces = 0
+    if "--obj_faces" in sys.argv:
+        obj_faces = int(sys.argv[sys.argv.index("--obj_faces") + 1])
+
     mano = synthetic_mano_model(0)
     t0 = time.perf_counter()
     ds = get_dataset(
         "synthetic", "train", image_size=RES, use_objects=True, train=True,
         mano=mano, pair_mode=True, fraction=0.25, synth_videos=2,
         synth_frames=max(4, (2 * BATCH_PAIRS) // 2), seed=0,
+        synth_obj_faces=obj_faces,
     )
     loader = BatchLoader(ds, batch_size=BATCH_PAIRS, seed=0, drop_last=False)
     batch = next(iter(loader))

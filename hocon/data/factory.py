@@ -30,6 +30,7 @@ def get_dataset(
     center_idx: int = 9,
     synth_videos: int = 8,
     synth_frames: int = 8,
+    synth_obj_faces: int = 0,
     decimate_objects_to: int = 0,
 ) -> HandDataset:
     if name in ("fhbhands", "fphab"):
@@ -56,9 +57,11 @@ def get_dataset(
             image_size=image_size, mano=mano,
             supervised_fraction=fraction if split == "train" else 1.0,
             with_object=use_objects, pair_spacing=pair_spacing, seed=seed,
+            obj_n_faces=synth_obj_faces,
         )
         if use_objects:
-            max_obj_verts, max_obj_faces = 8, 12
+            max_obj_verts = len(pose_ds.obj_verts_can)
+            max_obj_faces = len(pose_ds.obj_faces)
     else:
         raise ValueError(f"unknown dataset {name!r}")
 

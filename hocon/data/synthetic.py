@@ -34,6 +34,43 @@ _BOX_FACES = np.array(
 )
 
 
+def uv_sphere(target_faces: int) -> tuple[np.ndarray, np.ndarray]:
+    """Unit UV sphere with ~``target_faces`` triangles (outward winding).
+
+    Stands in for a YCB-scale decimated object (SURVEY.md §2.2 "decimated
+    variants for rasterizer budget"): real ``textured_simple.obj`` meshes
+    decimate to ~1-2k faces before rendering, so benchmarks with this
+    object reflect real-data raster workloads instead of the 12-face box.
+    """
+    nlon = max(8, int(round(np.sqrt(target_faces / 2.0))))
+    nlat = max(3, int(round(target_faces / (2.0 * nlon))) + 1)
+    ring_i = np.arange(1, nlat)
+    theta = np.pi * ring_i / nlat  # (nlat-1,)
+    phi = 2.0 * np.pi * np.arange(nlon) / nlon  # (nlon,)
+    st, ct = np.sin(theta)[:, None], np.cos(theta)[:, None]
+    rings = np.stack(
+        [st * np.cos(phi)[None], st * np.sin(phi)[None],
+         np.broadcast_to(ct, (nlat - 1, nlon))],
+        axis=-1,
+    ).reshape(-1, 3)  # ((nlat-1)*nlon, 3)
+    verts = np.concatenate(
+        [rings, [[0.0, 0.0, 1.0]], [[0.0, 0.0, -1.0]]], axis=0
+    ).astype(np.float32)
+    top, bot = len(rings), len(rings) + 1
+    faces = []
+    idx = lambda i, j: i * nlon + (j % nlon)  # ring i (0-based), lon j
+    for j in range(nlon):  # pole fans
+        faces.append([top, idx(0, j + 1), idx(0, j)])
+        faces.append([bot, idx(nlat - 2, j), idx(nlat - 2, j + 1)])
+    for i in range(nlat - 2):  # ring quads -> 2 tris
+        for j in range(nlon):
+            a, b = idx(i, j), idx(i, j + 1)
+            c, d = idx(i + 1, j), idx(i + 1, j + 1)
+            faces.append([a, d, b])
+            faces.append([a, c, d])
+    return verts, np.asarray(faces, np.int32)
+
+
 class SyntheticHandDataset:
     """Pose-dataset-protocol implementation over procedurally rendered clips."""
 
@@ -47,6 +84,7 @@ class SyntheticHandDataset:
         supervised_fraction: float = 1.0,
         with_object: bool = True,
         pair_spacing: int = 2,
+        obj_n_faces: int = 0,
     ):
         import jax.numpy as jnp
 
@@ -93,10 +131,17 @@ class SyntheticHandDataset:
         self.joints = np.asarray(joints)
         self.pose, self.betas, self.root, self.trans = pose, betas, root, trans
 
-        # Object: a box clipped to the hand, following the wrist.
+        # Object following the wrist: a 12-face box by default, or (for
+        # real-data-scale raster workloads) a UV sphere with ~obj_n_faces
+        # triangles standing in for a decimated YCB mesh.
         self.obj_scale = 0.06
-        self.obj_verts_can = _BOX_VERTS * self.obj_scale
-        self.obj_faces = _BOX_FACES
+        if obj_n_faces and obj_n_faces > 12:
+            sv, sf = uv_sphere(obj_n_faces)
+            self.obj_verts_can = sv * (self.obj_scale * 0.5)
+            self.obj_faces = sf
+        else:
+            self.obj_verts_can = _BOX_VERTS * self.obj_scale
+            self.obj_faces = _BOX_FACES
         wrist = self.joints[:, 0]
         self.obj_pose = np.tile(np.eye(4, dtype=np.float32), (n, 1, 1))
         self.obj_pose[:, :3, 3] = wrist + np.array([0.0, 0.04, 0.02], np.float32)

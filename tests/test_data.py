@@ -232,3 +232,28 @@ def test_rotation_aug_rotates_3d_labels(synth):
         np.testing.assert_allclose(
             b[q.value] @ rz.T, a[q.value], atol=0.2,
         )  # mm tolerance: affine resampling noise only
+
+
+def test_synthetic_realistic_object_pipeline():
+    """`synth_obj_faces` swaps the 12-face box for a ~N-face sphere (the
+    YCB-scale decimated-object stand-in) and the full factory/loader path
+    pads and batches it correctly."""
+    from hocon.data.factory import get_dataset
+    from hocon.data.synthetic import uv_sphere
+
+    v, f = uv_sphere(320)
+    # Closed, outward-wound surface.
+    vol = np.sum(
+        np.einsum("ij,ij->i", v[f[:, 0]], np.cross(v[f[:, 1]], v[f[:, 2]]))
+    ) / 6.0
+    assert vol > 0
+    assert 250 <= len(f) <= 400
+
+    ds = get_dataset(
+        "synthetic", "train", image_size=64, use_objects=True, train=True,
+        synth_videos=1, synth_frames=2, synth_obj_faces=320,
+    )
+    loader = BatchLoader(ds, batch_size=2, seed=0, drop_last=False)
+    batch = next(iter(loader))
+    assert batch[TransQueries.OBJVERTS3D.value].shape[1] == len(v)
+    assert batch["obj_faces"].shape[1] == len(f)
