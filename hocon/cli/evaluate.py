@@ -68,11 +68,10 @@ def main(argv=None):
     eval_step = make_eval_step(model, mano)
 
     if args.dump_codalab:
-        # The submission must cover the FULL split exactly once: use an
-        # unsharded loader and write from process 0 only (the sharded loader
-        # above would make each process dump an incomplete, racy pred.json).
-        if jax.process_index() != 0:
-            return
+        # The submission must cover the FULL split exactly once. EVERY
+        # process runs the same unsharded loop (all must participate in the
+        # jitted step — a process-0-only compute path would deadlock a
+        # multi-process mesh); only process 0 writes the file.
         dump_loader = BatchLoader(
             ds, args.batch_size, shuffle=False, drop_last=False,
         )
@@ -82,6 +81,8 @@ def main(argv=None):
             preds = jax.device_get(eval_step(state, shard_batch(batch, mesh)))
             all_joints.append(preds["joints_cam"][keep])
             all_verts.append(preds["verts_cam"][keep])
+        if jax.process_index() != 0:
+            return
         zip_path = dump_ho3d_codalab(
             np.concatenate(all_joints), np.concatenate(all_verts),
             args.dump_codalab,

@@ -358,6 +358,18 @@ class FPHAB:
             )
         ).astype(np.float32)
 
+    def _mano_verts_cached(self, i: int, fit: dict) -> np.ndarray:
+        """Per-frame cache: fits are static, so the jitted MANO forward and
+        its host-device round-trip run once per frame, not once per
+        __getitem__ per epoch (the dataloader hot path)."""
+        if not hasattr(self, "_verts_cache"):
+            self._verts_cache = {}
+        v = self._verts_cache.get(i)
+        if v is None:
+            v = self._mano_verts(fit)
+            self._verts_cache[i] = v
+        return v
+
     def __len__(self):
         return len(self.samples)
 
@@ -367,7 +379,7 @@ class FPHAB:
             "image_path": s["image_path"],
             "joints3d_cam": s["joints3d_cam"].astype(np.float32),
             "verts3d_cam": (
-                self._mano_verts(s["mano_fit"])
+                self._mano_verts_cached(i, s["mano_fit"])
                 if self.mano is not None and s.get("mano_fit") is not None
                 else None
             ),

@@ -162,15 +162,28 @@ class HandDataset:
         if raw.get("obj_verts_can") is not None:
             can = np.asarray(raw["obj_verts_can"], np.float32)
             pose = np.asarray(raw["obj_pose"], np.float32)
-            nv = min(len(can), cfg.max_obj_verts)
-            can_pad = np.zeros((cfg.max_obj_verts, 3), np.float32)
-            can_pad[:nv] = can[:nv]
-            obj_cam = (can_pad @ pose[:3, :3].T + pose[:3, 3]) @ rotz.T
             faces = np.asarray(raw.get("obj_faces"), np.int64)
+            # Truncating a mesh here would be silent corruption: dropped
+            # vertices leave faces pointing at padded zeros (and jnp
+            # gathers clamp instead of erroring). Meshes must fit the
+            # configured buffers — decimate at the dataset layer
+            # (--decimate_objects_to) or raise the caps.
+            if len(can) > cfg.max_obj_verts or len(faces) > cfg.max_obj_faces:
+                raise ValueError(
+                    f"object mesh ({len(can)} verts / {len(faces)} faces) "
+                    f"exceeds the configured buffers (max_obj_verts="
+                    f"{cfg.max_obj_verts}, max_obj_faces="
+                    f"{cfg.max_obj_faces}); use --decimate_objects_to or "
+                    "raise the caps"
+                )
+            nv = len(can)
+            can_pad = np.zeros((cfg.max_obj_verts, 3), np.float32)
+            can_pad[:nv] = can
+            obj_cam = (can_pad @ pose[:3, :3].T + pose[:3, 3]) @ rotz.T
             # Padded faces are degenerate (0,0,0) -> culled by the rasterizer.
             faces_pad = np.zeros((cfg.max_obj_faces, 3), np.int32)
-            nf = min(len(faces), cfg.max_obj_faces)
-            faces_pad[:nf] = faces[:nf]
+            nf = len(faces)
+            faces_pad[:nf] = faces
             # Object bbox corners (the HO-3D corner-error metric): canonical
             # corners from the REAL (unpadded) vertices, posed like the mesh.
             from hocon.data.meshes import bbox_corners

@@ -76,9 +76,15 @@ def decimate_mesh(
 ) -> tuple[np.ndarray, np.ndarray]:
     """Reduce (verts, faces) to <= target_faces by vertex clustering.
 
-    Returns the input unchanged when it already fits. The pitch search
-    starts at 1/64 of the bbox diagonal and doubles until the face budget
-    is met, then backs off one halving step if that overshot to zero.
+    The ``<= target_faces`` contract is GUARANTEED (callers size rasterizer
+    buffers from it — over-budget meshes would be truncated downstream into
+    faces with out-of-range vertex indices). Returns the input unchanged
+    when it already fits. Search: the grid pitch starts at 1/64 of the bbox
+    diagonal and grows by sqrt(2) until the budget is met; if a step
+    overshoots to an empty mesh, the pitch is bisected between the last
+    over-budget pitch and the emptying one. If no pitch fits (pathological
+    geometry), the largest-area faces of the coarsest over-budget
+    clustering are kept — a valid sub-mesh, never out-of-range indices.
     """
     verts = np.asarray(verts, np.float32)
     faces = np.asarray(faces, np.int64)
@@ -86,18 +92,34 @@ def decimate_mesh(
         return verts, faces.astype(np.int32)
     diag = float(np.linalg.norm(verts.max(axis=0) - verts.min(axis=0)))
     pitch = diag / 64.0
-    best = None
+    best_over = None  # finest clustering still over budget
+    lo = hi = None  # lo: pitch known over budget; hi: known empty/fits
     for _ in range(max_iters):
         v, f = _cluster_once(verts, faces, pitch)
-        if len(f) <= target_faces:
-            if len(f) > 0:
-                return v, f
-            # Overshot to an empty mesh: back off and accept best-effort.
+        if 0 < len(f) <= target_faces:
+            return v, f
+        if len(f) == 0:
+            hi = pitch
             break
-        best = (v, f)
+        best_over = (v, f)  # coarsest-so-far: fewest faces over budget
+        lo = pitch
         pitch *= 1.4142135623730951  # sqrt(2): gentle coarsening
-    if best is not None:
-        # Couldn't reach target without emptying the mesh; return the
-        # smallest non-empty clustering found.
-        return best
-    return verts, faces.astype(np.int32)
+    if lo is not None and hi is not None:
+        for _ in range(20):  # bisect into the (over-budget, empty) gap
+            mid = 0.5 * (lo + hi)
+            v, f = _cluster_once(verts, faces, mid)
+            if 0 < len(f) <= target_faces:
+                return v, f
+            if len(f) > target_faces:
+                lo, best_over = mid, (v, f)
+            else:
+                hi = mid
+    # No pitch fits: hard-trim the coarsest over-budget clustering to the
+    # largest-area faces (valid indices; an open but renderable sub-mesh).
+    v, f = best_over if best_over is not None else (verts, faces)
+    fv = v[f]
+    area2 = np.linalg.norm(
+        np.cross(fv[:, 1] - fv[:, 0], fv[:, 2] - fv[:, 0]), axis=1
+    )
+    keep = np.sort(np.argsort(-area2)[:target_faces])
+    return v, f[keep].astype(np.int32)

@@ -99,6 +99,21 @@ def gather_faces(arr: jnp.ndarray, faces: jnp.ndarray) -> jnp.ndarray:
     return jax.vmap(lambda a, f: a[f])(arr, faces)
 
 
+def face_det2d(fv: jnp.ndarray) -> jnp.ndarray:
+    """Signed 2x(triangle area) from gathered screen-space verts (..., 3, 2).
+
+    Differences-first so duplicate-vertex faces give EXACTLY zero in f32
+    (an adjugate-style expansion leaves a ~1e-5 rounding residue that would
+    let degenerate faces leak garbage planes). The degeneracy criterion is
+    ``|face_det2d(fv)| > _AREA_EPS``; every consumer (plane validity in
+    ``face_planes``, scheduling keys in ``sort_faces_by_y``) MUST use this
+    one helper so the predicates cannot drift apart.
+    """
+    return (fv[..., 1, 0] - fv[..., 0, 0]) * (fv[..., 2, 1] - fv[..., 0, 1]) - (
+        fv[..., 2, 0] - fv[..., 0, 0]
+    ) * (fv[..., 1, 1] - fv[..., 0, 1])
+
+
 def face_planes(
     verts_pix: jnp.ndarray,
     verts_zbar: jnp.ndarray,
@@ -139,11 +154,8 @@ def face_planes(
         ],
         axis=-2,
     )  # (B, F, 3, 3)
-    # det == 2 * signed triangle area. Compute it from edge vectors, not the
-    # adjugate expansion: differences first makes it EXACTLY zero for
-    # duplicate-vertex faces in f32 (the adjugate form leaves a ~1e-5
-    # rounding residue that would let degenerate faces leak garbage planes).
-    det = (b - a) * (f - d) - (c - a) * (e - d)
+    # det == 2 * signed triangle area (shared predicate — see face_det2d).
+    det = face_det2d(fv)
     valid = (jnp.abs(det) > _AREA_EPS).astype(verts_pix.dtype)
     safe_det = jnp.where(jnp.abs(det) > _AREA_EPS, det, 1.0)
     # Rows of minv give barycentric coords: w_k(x,y) = minv[k] . (x,y,1).

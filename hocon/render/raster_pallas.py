@@ -43,6 +43,7 @@ from hocon.render.raster import (
     _AREA_EPS,
     FacePlanes,
     RasterOutput,
+    face_det2d,
     gather_faces,
     rasterize_planes_xla,
 )
@@ -102,10 +103,7 @@ def sort_faces_by_y(
     if faces.ndim == 2:
         faces = jnp.broadcast_to(faces[None], (vp.shape[0],) + faces.shape)
     fv = gather_faces(vp, faces)  # (B, F, 3, 2)
-    det = (fv[..., 1, 0] - fv[..., 0, 0]) * (fv[..., 2, 1] - fv[..., 0, 1]) - (
-        fv[..., 2, 0] - fv[..., 0, 0]
-    ) * (fv[..., 1, 1] - fv[..., 0, 1])
-    valid = jnp.abs(det) > _AREA_EPS
+    valid = jnp.abs(face_det2d(fv)) > _AREA_EPS
     ymin = jnp.min(fv[..., 1], axis=-1)
     ymax = jnp.max(fv[..., 1], axis=-1)
     ycenter = jnp.where(valid, 0.5 * (ymin + ymax), jnp.inf)

@@ -240,6 +240,11 @@ def bilinear_sample_pallas(
     """
     b, h, w, c = image.shape
     _, hq, wq, _ = coords.shape
+    # The backward kernel returns gradients for COORDS only; make the
+    # image's data-only role explicit rather than letting the custom VJP's
+    # None silently instantiate zeros (a caller differentiating w.r.t. the
+    # image should use warp.bilinear_sample(..., image_grad=True)).
+    image = jax.lax.stop_gradient(image)
     # bf16 rows feed the MXU on TPU; CPU (interpret mode) keeps f32 so the
     # kernel is bit-comparable to the gather reference in tests.
     mm_dtype = (

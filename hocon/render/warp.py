@@ -153,16 +153,25 @@ def bilinear_sample_mm(
     return out.reshape(out_sp + (c,))
 
 
-def bilinear_sample(image: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray:
+def bilinear_sample(
+    image: jnp.ndarray, coords: jnp.ndarray, image_grad: bool = False
+) -> jnp.ndarray:
     """Backend-dispatching bilinear sampler.
 
     TPU: the fused Pallas matmul-sampling kernel (5.9 ms fwd+bwd vs 28.2 ms
     for the gather path at 16x256^2 on v5e-1). CPU: the gather formulation
     (XLA CPU gathers are fast, and it is the exact reference the kernels
     are tested against).
+
+    The Pallas kernel treats the image as DATA (stop-gradient — the warp
+    loss never differentiates the reference frame). Pass
+    ``image_grad=True`` to route through a formulation whose autodiff
+    carries image gradients on every backend (matmul path on TPU).
     """
     if jax.default_backend() in ("cpu",):
         return bilinear_sample_gather(image, coords)
+    if image_grad:
+        return bilinear_sample_mm(image, coords)
     from hocon.render.sample_pallas import bilinear_sample_pallas
 
     return bilinear_sample_pallas(image, coords)

@@ -186,7 +186,6 @@ def main():
 
     # --- SSIM fwd+bwd ---
     img2 = jnp.asarray(rng.uniform(0, 1, (b, res, res, 3)), jnp.float32)
-    mask = jnp.ones((b, res, res), jnp.float32)
 
     @jax.jit
     def ssim_fwdbwd(a, c):

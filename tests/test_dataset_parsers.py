@@ -284,3 +284,50 @@ def test_ho3d_eval_split_root_only(tmp_path):
         np.broadcast_to(s["joints3d_cam"][0:1], (21, 3)),
         atol=1e-6,
     )
+
+
+def test_decimate_mesh_guarantees_budget_on_pathological_geometry():
+    """The <= target contract must hold even when clustering jumps from
+    over-budget straight to empty (near-planar sliver strip)."""
+    from hocon.data.meshes import decimate_mesh
+
+    rng = np.random.default_rng(0)
+    # A long, hair-thin strip: clustering collapses it abruptly.
+    n = 400
+    x = np.linspace(0.0, 1.0, n)
+    verts = np.stack(
+        [
+            np.concatenate([x, x]),
+            np.concatenate([np.zeros(n), np.full(n, 1e-5)]),
+            np.concatenate([np.zeros(n), np.zeros(n)]),
+        ],
+        axis=1,
+    ).astype(np.float32)
+    faces = []
+    for i in range(n - 1):
+        faces.append([i, i + 1, n + i])
+        faces.append([i + 1, n + i + 1, n + i])
+    faces = np.asarray(faces, np.int64)
+    for target in (700, 100, 10):
+        dv, df = decimate_mesh(verts, faces, target)
+        assert 0 < len(df) <= target, (target, len(df))
+        assert df.max() < len(dv)  # indices always in range
+
+
+def test_hand_dataset_rejects_over_budget_object_mesh(mano_model):
+    """Over-budget meshes must raise, not silently truncate into faces
+    with out-of-range indices."""
+    import pytest
+
+    from hocon.data.hand_dataset import HandDataset, HandDatasetConfig
+    from hocon.data.synthetic import SyntheticHandDataset
+
+    ds = SyntheticHandDataset(
+        n_videos=1, frames_per_video=2, image_size=32, mano=mano_model,
+        obj_n_faces=320,
+    )
+    wrapped = HandDataset(
+        ds, HandDatasetConfig(image_size=32, max_obj_verts=8, max_obj_faces=12)
+    )
+    with pytest.raises(ValueError, match="exceeds the configured buffers"):
+        wrapped[0]
