@@ -9,27 +9,39 @@ compile latency makes one-config-per-process sweeps impractically slow.
 
 from __future__ import annotations
 
+import argparse
 import importlib
 import os
 import time
 
 
 def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--res", type=int, default=256)
+    ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument(
+        "--configs", nargs="*", default=None,
+        help="fc,rb,xb triples, e.g. 32,8,256 32,8,128",
+    )
+    args = ap.parse_args()
+
     import jax
     import jax.numpy as jnp
 
     from hocon.geometry.mano import mano_forward, synthetic_mano_model
     from hocon.geometry.project import persp_project
 
+    res = args.res
     mano = synthetic_mano_model(0)
-    b = 16
+    b = args.batch
     verts, _ = mano_forward(
         mano, jnp.zeros((b, 15)), jnp.zeros((b, 10)), jnp.zeros((b, 3)),
         scale_mm=False,
     )
     verts = verts + jnp.asarray([0.0, 0.0, 0.6])
+    foc = res * 0.86
     k = jnp.tile(
-        jnp.asarray([[220.0, 0, 128], [0, 220.0, 128], [0, 0, 1.0]])[None],
+        jnp.asarray([[foc, 0, res / 2], [0, foc, res / 2], [0, 0, 1.0]])[None],
         (b, 1, 1),
     )
     vp = persp_project(verts, k)
@@ -50,7 +62,7 @@ def main():
         @jax.jit
         def fwd(vp, vz, attrs):
             o = R.soft_rasterize(
-                vp, vz, faces, attrs, image_size=(256, 256), backend="pallas"
+                vp, vz, faces, attrs, image_size=(res, res), backend="pallas"
             )
             return o.sil.sum() + o.attr.sum() + o.vis.sum()
 
@@ -75,14 +87,17 @@ def main():
             flush=True,
         )
 
-    configs = [
-        (32, 8, 256),  # current default
-        (32, 16, 256),
-        (64, 8, 256),
-        (64, 16, 256),
-        (16, 8, 256),
-        (32, 32, 256),
-    ]
+    if args.configs:
+        configs = [tuple(int(v) for v in c.split(",")) for c in args.configs]
+    else:
+        configs = [
+            (32, 8, 256),  # current default
+            (32, 16, 256),
+            (64, 8, 256),
+            (64, 16, 256),
+            (16, 8, 256),
+            (32, 32, 256),
+        ]
     for fc, rb, xb in configs:
         run_cfg(fc, rb, xb)
 
