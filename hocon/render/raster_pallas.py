@@ -58,16 +58,16 @@ ROW_BLOCK = int(os.environ.get("HOCON_ROW_BLOCK", "8"))
 # Measured at 256px (centered hand): splitting 256 -> 2x128 costs MORE
 # (+3 ms fwd: per-program overhead beats the culling win, since most
 # chunks straddle the image center), so a single lane block is used up to
-# this width and x-splitting only kicks in for wider renders, where a
-# chunk's x-span is a small fraction of the width.
+# this width. Wider renders split into 128-column blocks: at 512px,
+# 4x128 beats 2x256 by 24% fwd+bwd (chunk x-spans are a small fraction of
+# the width, so the x test culls most chunk/block pairs) — and a single
+# 512-wide block does not even fit the backward's scoped VMEM.
 LANE_BLOCK = int(os.environ.get("HOCON_LANE_BLOCK", "256"))
 
 
 def _lane_block(wp: int) -> int:
     """Lane-block width for a padded image width (wp a multiple of 128)."""
-    if wp <= LANE_BLOCK:
-        return wp
-    return LANE_BLOCK if wp % LANE_BLOCK == 0 else 128
+    return wp if wp <= LANE_BLOCK else 128
 # Coverage is sigmoid(-d^2/sigma^2): at 4.5*sigma from a face it is ~1.6e-9
 # (and its gradient smaller still), orders of magnitude below the f32 noise
 # of the accumulation itself — culling chunks beyond this radius changes
