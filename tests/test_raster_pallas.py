@@ -205,3 +205,24 @@ def test_pallas_mano_mesh(mano_model):
     np.testing.assert_allclose(
         np.asarray(out_p.depth)[mask], np.asarray(out_x.depth)[mask], atol=1e-3
     )
+
+
+def test_pallas_fully_offscreen_mesh_renders_background():
+    """A mesh entirely outside the image -> pure background, zero grads.
+
+    Exercises the per-row-block chunk-range path where no chunk overlaps
+    any row block (k_start == k_end == 0 everywhere)."""
+    vp, vz, f, a = _scene(seed=5)
+    vp = vp + jnp.asarray([0.0, 5000.0])  # far below the image
+
+    def render_sums(vp_):
+        out = _render("pallas", vp_, vz, f, a)
+        return out
+
+    out = render_sums(vp)
+    np.testing.assert_allclose(np.asarray(out.sil), 0.0, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out.vis), 0.0, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out.depth), 1.0, atol=1e-5)
+
+    g = jax.grad(lambda vp_: _render("pallas", vp_, vz, f, a).sil.sum())(vp)
+    np.testing.assert_allclose(np.asarray(g), 0.0, atol=1e-6)
