@@ -47,6 +47,7 @@ def main(argv=None):
         args.dataset, args.val_split, args.data_root, args.image_size,
         use_objects=args.use_objects, train=False, mano=mano, seed=args.seed,
         synth_videos=args.synth_videos, synth_frames=args.synth_frames,
+        decimate_objects_to=getattr(args, "decimate_objects_to", 0),
     )
     loader = BatchLoader(
         ds, args.batch_size, shuffle=False, drop_last=False,
@@ -78,7 +79,15 @@ def main(argv=None):
         all_joints, all_verts = [], []
         for batch in dump_loader.epoch(0):
             keep = np.asarray(batch.pop("_valid", np.ones(1))) > 0
-            preds = jax.device_get(eval_step(state, shard_batch(batch, mesh)))
+            preds = eval_step(state, shard_batch(batch, mesh))
+            if jax.process_count() > 1:
+                # The step's outputs are batch-sharded across processes;
+                # device_get on a multi-process array raises. Gather the
+                # full value onto every host first (all hosts participate).
+                from jax.experimental import multihost_utils
+
+                preds = multihost_utils.process_allgather(preds, tiled=True)
+            preds = jax.device_get(preds)
             all_joints.append(preds["joints_cam"][keep])
             all_verts.append(preds["verts_cam"][keep])
         if jax.process_index() != 0:

@@ -46,6 +46,7 @@ def main(argv=None):
         args.dataset, args.val_split, args.data_root, args.image_size,
         use_objects=args.use_objects, train=False, mano=mano, seed=args.seed,
         synth_videos=args.synth_videos, synth_frames=args.synth_frames,
+        decimate_objects_to=getattr(args, "decimate_objects_to", 0),
     )
     loader = BatchLoader(ds, args.batch_size, shuffle=False, drop_last=False,
                          shard_index=jax.process_index(),

@@ -98,6 +98,7 @@ def setup_common(args):
         use_objects=args.use_objects, train=False, mano=mano, seed=args.seed,
         center_idx=args.center_idx,
         synth_videos=max(2, args.synth_videos // 4), synth_frames=args.synth_frames,
+        decimate_objects_to=getattr(args, "decimate_objects_to", 0),
     )
     if args.workers > 0:
         from hocon.data.pipeline import GrainEpochLoader

@@ -41,13 +41,6 @@ def get_dataset(
             pair_spacing=pair_spacing, mano=mano,
             decimate_objects_to=decimate_objects_to or None,
         )
-        if use_objects and decimate_objects_to:
-            # Size the padded buffers to the decimation budget (decimation
-            # GUARANTEES <= target faces; a closed mesh has V < F, so the
-            # face budget also bounds the vertex count — HandDataset
-            # raises rather than truncating if a mesh still exceeds them).
-            max_obj_faces = max(max_obj_faces, decimate_objects_to)
-            max_obj_verts = max(max_obj_verts, decimate_objects_to)
     elif name in ("ho3dv2", "ho3d"):
         from hocon.data.ho3d import HO3D
 
@@ -56,9 +49,6 @@ def get_dataset(
             pair_spacing=pair_spacing, mano=mano,
             decimate_objects_to=decimate_objects_to or None,
         )
-        if use_objects and decimate_objects_to:
-            max_obj_faces = max(max_obj_faces, decimate_objects_to)
-            max_obj_verts = max(max_obj_verts, decimate_objects_to)
     elif name == "synthetic":
         from hocon.data.synthetic import SyntheticHandDataset
 
@@ -74,6 +64,14 @@ def get_dataset(
             max_obj_faces = len(pose_ds.obj_faces)
     else:
         raise ValueError(f"unknown dataset {name!r}")
+
+    if name != "synthetic" and use_objects and decimate_objects_to:
+        # Size the padded buffers to the decimation budget: decimate_mesh
+        # GUARANTEES <= target faces AND <= target vertices (compacted), so
+        # these caps are sufficient — HandDataset raises rather than
+        # truncating if a mesh still exceeds them.
+        max_obj_faces = max(max_obj_faces, decimate_objects_to)
+        max_obj_verts = max(max_obj_verts, decimate_objects_to)
 
     cfg = HandDatasetConfig(
         image_size=image_size,

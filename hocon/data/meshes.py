@@ -68,58 +68,96 @@ def _cluster_once(
     return centroids.astype(np.float32), new_faces.astype(np.int32)
 
 
+def _compact(
+    verts: np.ndarray, faces: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Drop vertices not referenced by any face; reindex faces."""
+    used = np.unique(faces)
+    remap = np.full(len(verts), -1, np.int64)
+    remap[used] = np.arange(len(used))
+    return verts[used], remap[faces]
+
+
 def decimate_mesh(
     verts: np.ndarray,
     faces: np.ndarray,
     target_faces: int,
     max_iters: int = 32,
+    target_verts: int | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
-    """Reduce (verts, faces) to <= target_faces by vertex clustering.
+    """Reduce (verts, faces) to <= target_faces AND <= target_verts.
 
-    The ``<= target_faces`` contract is GUARANTEED (callers size rasterizer
-    buffers from it — over-budget meshes would be truncated downstream into
-    faces with out-of-range vertex indices). Returns the input unchanged
-    when it already fits. Search: the grid pitch starts at 1/64 of the bbox
-    diagonal and grows by sqrt(2) until the budget is met; if a step
-    overshoots to an empty mesh, the pitch is bisected between the last
-    over-budget pitch and the emptying one. If no pitch fits (pathological
-    geometry), the largest-area faces of the coarsest over-budget
-    clustering are kept — a valid sub-mesh, never out-of-range indices.
+    Both budgets are GUARANTEED (callers size rasterizer/padding buffers
+    from them — over-budget meshes would be truncated downstream into faces
+    with out-of-range vertex indices); ``target_verts`` defaults to
+    ``target_faces`` (a closed 2-manifold has V = F/2 + 2, so the face
+    budget is a comfortable vertex bound once unreferenced vertices are
+    compacted away). Returns the input unchanged when it already fits.
+    Search: the grid pitch starts at 1/64 of the bbox diagonal and grows by
+    sqrt(2) until the budgets are met; if a step overshoots to an empty
+    mesh, the pitch is bisected into the (over-budget, empty) gap (the
+    lower bracket falls back to an effectively-zero pitch when even the
+    first step emptied the mesh). If no pitch fits (pathological geometry),
+    the largest-area faces of the coarsest over-budget clustering are kept,
+    shrinking the kept set until the referenced-vertex budget also holds —
+    a valid sub-mesh, never out-of-range indices.
     """
     verts = np.asarray(verts, np.float32)
     faces = np.asarray(faces, np.int64)
-    if len(faces) <= target_faces:
+    tv = target_faces if target_verts is None else target_verts
+
+    def fits(v, f):
+        return len(f) <= target_faces and len(v) <= tv
+
+    if fits(verts, faces):
         return verts, faces.astype(np.int32)
+    v0, f0 = _compact(verts, faces)
+    if fits(v0, f0):
+        return v0, f0.astype(np.int32)
     diag = float(np.linalg.norm(verts.max(axis=0) - verts.min(axis=0)))
     pitch = diag / 64.0
-    best_over = None  # finest clustering still over budget
+    best_over = None  # coarsest clustering still over budget
     lo = hi = None  # lo: pitch known over budget; hi: known empty/fits
     for _ in range(max_iters):
         v, f = _cluster_once(verts, faces, pitch)
-        if 0 < len(f) <= target_faces:
-            return v, f
+        if len(f):
+            v, f = _compact(v, f)
+        if len(f) and fits(v, f):
+            return v, f.astype(np.int32)
         if len(f) == 0:
             hi = pitch
             break
         best_over = (v, f)  # coarsest-so-far: fewest faces over budget
         lo = pitch
         pitch *= 1.4142135623730951  # sqrt(2): gentle coarsening
-    if lo is not None and hi is not None:
-        for _ in range(20):  # bisect into the (over-budget, empty) gap
+    if hi is not None:
+        if lo is None:
+            # Even the first pitch emptied the mesh: an effectively-zero
+            # pitch reproduces the (over-budget) input — a valid bracket.
+            lo = hi * 1e-7
+            best_over = best_over or (v0, f0)
+        for _ in range(24):  # bisect into the (over-budget, empty) gap
             mid = 0.5 * (lo + hi)
             v, f = _cluster_once(verts, faces, mid)
-            if 0 < len(f) <= target_faces:
-                return v, f
-            if len(f) > target_faces:
-                lo, best_over = mid, (v, f)
-            else:
+            if len(f) == 0:
                 hi = mid
+                continue
+            v, f = _compact(v, f)
+            if fits(v, f):
+                return v, f.astype(np.int32)
+            lo, best_over = mid, (v, f)  # non-empty but over budget
     # No pitch fits: hard-trim the coarsest over-budget clustering to the
-    # largest-area faces (valid indices; an open but renderable sub-mesh).
-    v, f = best_over if best_over is not None else (verts, faces)
+    # largest-area faces; shrink until the vertex budget holds too.
+    v, f = best_over if best_over is not None else (v0, f0)
     fv = v[f]
     area2 = np.linalg.norm(
         np.cross(fv[:, 1] - fv[:, 0], fv[:, 2] - fv[:, 0]), axis=1
     )
-    keep = np.sort(np.argsort(-area2)[:target_faces])
-    return v, f[keep].astype(np.int32)
+    order = np.argsort(-area2)
+    k = min(target_faces, len(f))
+    while k > 0:
+        vk, fk = _compact(v, f[np.sort(order[:k])])
+        if len(vk) <= tv:
+            return vk, fk.astype(np.int32)
+        k = int(k * 0.8)  # geometric shrink; terminates (1 face = 3 verts)
+    return v[:0], f[:0].astype(np.int32)

@@ -26,13 +26,6 @@ _C1 = 0.01**2
 _C2 = 0.03**2
 
 
-def _gaussian_kernel(window_size: int, sigma: float, dtype) -> jnp.ndarray:
-    half = (window_size - 1) / 2.0
-    x = jnp.arange(window_size, dtype=dtype) - half
-    g = jnp.exp(-(x**2) / (2.0 * sigma**2))
-    return g / jnp.sum(g)  # (K,)
-
-
 @functools.lru_cache(maxsize=16)
 def _band_matrix_np(n: int, window_size: int, sigma: float) -> np.ndarray:
     """(n, n) banded Gaussian-blur matrix == zero-padded SAME conv."""

@@ -163,12 +163,16 @@ def bilinear_sample(
     (XLA CPU gathers are fast, and it is the exact reference the kernels
     are tested against).
 
-    The Pallas kernel treats the image as DATA (stop-gradient — the warp
-    loss never differentiates the reference frame). Pass
+    By default the image is DATA (stop-gradient on every backend — the
+    warp loss never differentiates the reference frame; the TPU kernel's
+    VJP only produces coordinate gradients anyway). Pass
     ``image_grad=True`` to route through a formulation whose autodiff
-    carries image gradients on every backend (matmul path on TPU).
+    carries image gradients on every backend (gather on CPU, matmul on
+    TPU) — the default contract is identical across backends.
     """
     if jax.default_backend() in ("cpu",):
+        if not image_grad:
+            image = jax.lax.stop_gradient(image)
         return bilinear_sample_gather(image, coords)
     if image_grad:
         return bilinear_sample_mm(image, coords)

@@ -25,7 +25,7 @@ def enable_compile_cache(path: str | None = None) -> None:
     22 s -> 78 s with caching enabled — and serialized executables would
     not survive the tunnel's host migrations anyway.
     """
-    if os.environ.get("JAX_PLATFORMS", "").startswith("axon"):
+    if "axon" in os.environ.get("JAX_PLATFORMS", ""):
         return
     import jax
 
