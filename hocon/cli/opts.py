@@ -66,6 +66,21 @@ def add_net_opts(p: argparse.ArgumentParser):
     g.add_argument("--mano_lambda_pose_reg", type=float, default=1e-6)
     g.add_argument("--obj_lambda_verts3d", type=float, default=0.167)
     g.add_argument("--obj_lambda_verts2d", type=float, default=0.0)
+    g.add_argument("--torch_trunk", default="",
+                   help="torchvision ResNet .pth: import ImageNet trunk "
+                        "weights at init (reference training starts from "
+                        "ImageNet — SURVEY.md §2.1 ResNet trunk)")
+    g.add_argument("--torch_ckpt", default="",
+                   help="full reference MeshRegNet .pth: import trunk+heads "
+                        "(implies --obj_rot_param axisang; use with "
+                        "evaluate for MPJPE parity against reference "
+                        "checkpoints)")
+    g.add_argument("--torch_trunk_prefix", default="base_net.",
+                   help="trunk key prefix inside --torch_ckpt (VERIFY "
+                        "against the reference checkpoint once available)")
+    g.add_argument("--torch_loose", action="store_true",
+                   help="skip head entries missing from --torch_ckpt "
+                        "instead of raising (e.g. hand-only checkpoints)")
     g.add_argument("--mano_assets", default="assets/mano",
                    help="dir with MANO_RIGHT.pkl (synthetic fallback if absent)")
     g.add_argument("--mano_side", default="right", choices=["right", "left"],
@@ -84,6 +99,11 @@ def add_data_opts(p: argparse.ArgumentParser):
                    help="fraction of annotated frames (sparse supervision)")
     g.add_argument("--spacing", type=int, default=8,
                    help="max temporal offset for frame pairs")
+    g.add_argument("--pair_fixed_spacing", action="store_true",
+                   help="target frame at EXACTLY --spacing offset (random "
+                        "sign) instead of a random offset in [1, spacing] "
+                        "(VERIFY: plausibly the reference protocol — see "
+                        "hocon/data/pairing.py)")
     g.add_argument("--use_objects", action="store_true")
     g.add_argument("--decimate_objects_to", type=int, default=0,
                    help="vertex-clustering face budget for object meshes "

@@ -20,7 +20,7 @@ import jax
 import numpy as np
 
 from hocon.cli import opts
-from hocon.cli.train import build_model
+from hocon.cli.train import apply_torch_init, build_model
 from hocon.data.factory import get_dataset
 from hocon.data.pipeline import BatchLoader
 from hocon.train.checkpoints import CheckpointManager
@@ -58,6 +58,7 @@ def main(argv=None):
         model, mano, make_optimizer(), sample, jax.random.PRNGKey(0),
         with_object=args.use_objects,
     )
+    state = apply_torch_init(args, model, state)
     state = replicate(state, mesh)
     if args.resume:
         state = CheckpointManager(args.resume).restore(state)

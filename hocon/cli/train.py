@@ -32,6 +32,17 @@ from hocon.train.steps import make_eval_step, make_train_step
 def build_model(args, mano):
     import jax.numpy as jnp
 
+    if (
+        getattr(args, "torch_ckpt", "")
+        and args.use_objects
+        and args.obj_rot_param != "axisang"
+    ):
+        print(
+            "[hocon] --torch_ckpt implies --obj_rot_param axisang (the "
+            "reference regresses axis-angle; the 6d head has a different "
+            "output width) — overriding."
+        )
+        args.obj_rot_param = "axisang"
     return HOCNet(
         ncomps=args.ncomps,
         center_idx=args.center_idx,
@@ -41,6 +52,61 @@ def build_model(args, mano):
         backbone=args.backbone,
         freeze_batchnorm=args.freeze_batchnorm,
         dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
+    )
+
+
+_IMPORT_STAGE_SIZES = {"resnet18": (2, 2, 2, 2), "resnet34": (3, 4, 6, 3)}
+
+
+def apply_torch_init(args, model, state):
+    """Handle ``--torch_trunk`` / ``--torch_ckpt``: import PyTorch weights
+    into a freshly created (host-resident, un-replicated) TrainState.
+
+    Precedence: callers apply this BEFORE resume/auto-restore/warm-start so
+    any checkpoint restore overrides the import (the import is an *init*).
+    """
+    import dataclasses
+
+    trunk_path = getattr(args, "torch_trunk", "")
+    ckpt_path = getattr(args, "torch_ckpt", "")
+    if not trunk_path and not ckpt_path:
+        return state
+    if trunk_path and ckpt_path:
+        raise ValueError("--torch_trunk and --torch_ckpt are exclusive")
+    if args.backbone not in _IMPORT_STAGE_SIZES:
+        raise ValueError(
+            f"torch import supports BasicBlock backbones "
+            f"{sorted(_IMPORT_STAGE_SIZES)}, not {args.backbone!r}"
+        )
+    from hocon.utils.torch_import import (
+        import_hocnet,
+        import_trunk_into_hocnet,
+        load_torch_checkpoint,
+    )
+
+    stages = _IMPORT_STAGE_SIZES[args.backbone]
+    variables = {
+        "params": jax.device_get(state.params),
+        "batch_stats": jax.device_get(state.batch_stats),
+    }
+    if ckpt_path:
+        sd = load_torch_checkpoint(ckpt_path)
+        variables = import_hocnet(
+            variables, sd, trunk_prefix=args.torch_trunk_prefix,
+            stage_sizes=stages,
+            strict_heads=not getattr(args, "torch_loose", False),
+            model=model,
+        )
+        print(f"[hocon] imported reference checkpoint {ckpt_path}")
+    else:
+        sd = load_torch_checkpoint(trunk_path)
+        variables = import_trunk_into_hocnet(
+            variables, sd, prefix="", stage_sizes=stages
+        )
+        print(f"[hocon] imported ImageNet trunk weights from {trunk_path}")
+    return dataclasses.replace(
+        state, params=variables["params"],
+        batch_stats=variables["batch_stats"],
     )
 
 
@@ -73,7 +139,9 @@ def setup_common(args):
         fraction=args.fraction, use_objects=args.use_objects,
         pair_mode=getattr(args, "pair_mode", False),
         clip_len=getattr(args, "clip_len", 2),
-        pair_spacing=args.spacing, train=True, mano=mano, seed=args.seed,
+        pair_spacing=args.spacing,
+        pair_fixed_spacing=getattr(args, "pair_fixed_spacing", False),
+        train=True, mano=mano, seed=args.seed,
         center_idx=args.center_idx,
         synth_videos=args.synth_videos, synth_frames=args.synth_frames,
         decimate_objects_to=getattr(args, "decimate_objects_to", 0),
@@ -142,6 +210,7 @@ def main(argv=None):
         model, mano, optimizer, sample, jax.random.PRNGKey(args.seed),
         with_object=args.use_objects,
     )
+    state = apply_torch_init(args, model, state)
     state = replicate(state, mesh)
 
     ckpt = CheckpointManager(os.path.join(run_dir, "ckpt"))

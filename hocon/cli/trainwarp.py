@@ -17,7 +17,13 @@ import os
 import jax
 
 from hocon.cli import opts
-from hocon.cli.train import build_model, hand_lambdas, obj_lambdas, setup_common
+from hocon.cli.train import (
+    apply_torch_init,
+    build_model,
+    hand_lambdas,
+    obj_lambdas,
+    setup_common,
+)
 from hocon.train.checkpoints import CheckpointManager, restore_for_warm_start
 from hocon.train.loop import epoch_pass
 from hocon.train.sharding import replicate
@@ -49,6 +55,7 @@ def main(argv=None):
         model, mano, optimizer, sample["ref"], jax.random.PRNGKey(args.seed),
         with_object=args.use_objects,
     )
+    state = apply_torch_init(args, model, state)
     state = replicate(state, mesh)
 
     ckpt = CheckpointManager(os.path.join(run_dir, "ckpt"))

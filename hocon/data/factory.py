@@ -20,6 +20,7 @@ def get_dataset(
     use_objects: bool = False,
     pair_mode: bool = False,
     pair_spacing: int = 8,
+    pair_fixed_spacing: bool = False,
     clip_len: int = 2,
     train: bool = True,
     mano=None,
@@ -38,16 +39,16 @@ def get_dataset(
 
         pose_ds = FPHAB(
             root, split=split, fraction=fraction, use_objects=use_objects,
-            pair_spacing=pair_spacing, mano=mano,
-            decimate_objects_to=decimate_objects_to or None,
+            pair_spacing=pair_spacing, pair_fixed_spacing=pair_fixed_spacing,
+            mano=mano, decimate_objects_to=decimate_objects_to or None,
         )
     elif name in ("ho3dv2", "ho3d"):
         from hocon.data.ho3d import HO3D
 
         pose_ds = HO3D(
             root, split=split, fraction=fraction, use_objects=use_objects,
-            pair_spacing=pair_spacing, mano=mano,
-            decimate_objects_to=decimate_objects_to or None,
+            pair_spacing=pair_spacing, pair_fixed_spacing=pair_fixed_spacing,
+            mano=mano, decimate_objects_to=decimate_objects_to or None,
         )
     elif name == "synthetic":
         from hocon.data.synthetic import SyntheticHandDataset
@@ -56,7 +57,8 @@ def get_dataset(
             n_videos=synth_videos, frames_per_video=synth_frames,
             image_size=image_size, mano=mano,
             supervised_fraction=fraction if split == "train" else 1.0,
-            with_object=use_objects, pair_spacing=pair_spacing, seed=seed,
+            with_object=use_objects, pair_spacing=pair_spacing,
+            pair_fixed_spacing=pair_fixed_spacing, seed=seed,
             obj_n_faces=synth_obj_faces,
         )
         if use_objects:

@@ -210,6 +210,7 @@ class FPHAB:
         fraction: float = 1.0,
         use_objects: bool = False,
         pair_spacing: int = 8,
+        pair_fixed_spacing: bool = False,
         decimate_objects_to: Optional[int] = None,
         mano=None,
     ):
@@ -222,6 +223,7 @@ class FPHAB:
         self.root = root
         self.split = split
         self.pair_spacing = pair_spacing
+        self.pair_fixed_spacing = pair_fixed_spacing
         self.mano = mano
         subjects = TRAIN_SUBJECTS if split == "train" else TEST_SUBJECTS
 
@@ -415,16 +417,17 @@ class FPHAB:
         return out
 
     def sample_pair(self, i: int, rng: np.random.Generator) -> tuple[int, int]:
-        """(nearest annotated ref, i's frame or a spaced neighbor) in-sequence."""
+        """(nearest annotated ref, i's frame or a spaced neighbor) in-sequence.
+
+        Offset protocol lives in :mod:`hocon.data.pairing` (VERIFY note
+        there: random-within-spacing vs fixed-spacing)."""
+        from hocon.data.pairing import pair_target
+
         si = self._sample_seq[i]
         start, count = self._seq_bounds[si]
         sup_local = np.nonzero(self.supervised[start : start + count])[0]
         local = i - start
         ref = int(sup_local[np.argmin(np.abs(sup_local - local))])
-        offset = int(rng.integers(1, self.pair_spacing + 1)) * (
-            1 if rng.random() < 0.5 else -1
-        )
-        tgt = int(np.clip(ref + offset, 0, count - 1))
-        if tgt == ref:
-            tgt = min(ref + 1, count - 1)
+        tgt = pair_target(ref, count, self.pair_spacing, rng,
+                          fixed=self.pair_fixed_spacing)
         return start + ref, start + tgt

@@ -51,6 +51,7 @@ class HO3D:
         fraction: float = 1.0,
         use_objects: bool = False,
         pair_spacing: int = 8,
+        pair_fixed_spacing: bool = False,
         mano=None,
         decimate_objects_to: Optional[int] = None,
     ):
@@ -61,6 +62,7 @@ class HO3D:
         self.root = root
         self.split = split
         self.pair_spacing = pair_spacing
+        self.pair_fixed_spacing = pair_fixed_spacing
         self.use_objects = use_objects
         self.mano = mano
         self.decimate_objects_to = decimate_objects_to
@@ -255,17 +257,15 @@ class HO3D:
         return (verts_gl @ COORD_FLIP.T).astype(np.float32)
 
     def sample_pair(self, i: int, rng: np.random.Generator) -> tuple[int, int]:
+        from hocon.data.pairing import pair_target
+
         si = self._sample_seq[i]
         start, count = self._seq_bounds[si]
         sup_local = np.nonzero(self.supervised[start : start + count])[0]
         local = i - start
         ref = int(sup_local[np.argmin(np.abs(sup_local - local))])
-        offset = int(rng.integers(1, self.pair_spacing + 1)) * (
-            1 if rng.random() < 0.5 else -1
-        )
-        tgt = int(np.clip(ref + offset, 0, count - 1))
-        if tgt == ref:
-            tgt = min(ref + 1, count - 1)
+        tgt = pair_target(ref, count, self.pair_spacing, rng,
+                          fixed=self.pair_fixed_spacing)
         return start + ref, start + tgt
 
 

@@ -10,9 +10,16 @@ signal for the consistency loss.
 
 from __future__ import annotations
 
+import hashlib
+import os
+
 import numpy as np
 
 from hocon.geometry.mano import ManoModel, mano_forward, synthetic_mano_model
+
+# Bump when renderer semantics or the frame-generation recipe change — the
+# disk cache below is keyed on it, so stale frames can never be served.
+_RENDER_CACHE_VERSION = 1
 
 _BOX_VERTS = (
     np.array(
@@ -84,6 +91,7 @@ class SyntheticHandDataset:
         supervised_fraction: float = 1.0,
         with_object: bool = True,
         pair_spacing: int = 2,
+        pair_fixed_spacing: bool = False,
         obj_n_faces: int = 0,
     ):
         import jax.numpy as jnp
@@ -94,6 +102,7 @@ class SyntheticHandDataset:
         self.mano = mano if mano is not None else synthetic_mano_model(0)
         self.image_size = image_size
         self.pair_spacing = pair_spacing
+        self.pair_fixed_spacing = pair_fixed_spacing
         self.frames_per_video = frames_per_video
         n = n_videos * frames_per_video
         rng = np.random.default_rng(seed)
@@ -123,12 +132,6 @@ class SyntheticHandDataset:
             [[f, 0, image_size / 2], [0, f, image_size / 2], [0, 0, 1]], np.float32
         )
 
-        verts, joints = mano_forward(
-            self.mano, jnp.asarray(pose), jnp.asarray(betas), jnp.asarray(root),
-            trans=jnp.asarray(trans), scale_mm=False,
-        )
-        self.verts = np.asarray(verts)
-        self.joints = np.asarray(joints)
         self.pose, self.betas, self.root, self.trans = pose, betas, root, trans
 
         # Object following the wrist: a 12-face box by default, or (for
@@ -142,37 +145,65 @@ class SyntheticHandDataset:
         else:
             self.obj_verts_can = _BOX_VERTS * self.obj_scale
             self.obj_faces = _BOX_FACES
-        wrist = self.joints[:, 0]
-        self.obj_pose = np.tile(np.eye(4, dtype=np.float32), (n, 1, 1))
-        self.obj_pose[:, :3, 3] = wrist + np.array([0.0, 0.04, 0.02], np.float32)
         self.with_object = with_object
 
-        # Render all frames once (hand + object, vertex-colored).
-        all_v = self.verts
-        all_f = np.asarray(self.mano.faces)
-        if with_object:
-            obj_v = (
-                self.obj_verts_can[None] @ self.obj_pose[:, :3, :3].transpose(0, 2, 1)
-                + self.obj_pose[:, None, :3, 3]
+        # Rendering all frames at init is the dominant setup cost (compiles +
+        # rasterization over the TPU tunnel: ~15 min at 256px in BENCH_r02),
+        # so derived arrays are disk-cached keyed by every input that affects
+        # them. Cache hit -> zero jax dispatches in __init__.
+        cached = self._cache_load(n_videos, seed)
+        if cached is not None:
+            self.verts, self.joints, self.images = cached
+            wrist = self.joints[:, 0]
+            self.obj_pose = np.tile(np.eye(4, dtype=np.float32), (n, 1, 1))
+            self.obj_pose[:, :3, 3] = wrist + np.array(
+                [0.0, 0.04, 0.02], np.float32
             )
-            all_v = np.concatenate([all_v, obj_v], axis=1)
-            all_f = np.concatenate(
-                [all_f, _BOX_FACES + self.verts.shape[1]], axis=0
+        else:
+            verts, joints = mano_forward(
+                self.mano, jnp.asarray(pose), jnp.asarray(betas),
+                jnp.asarray(root), trans=jnp.asarray(trans), scale_mm=False,
             )
-        colors = self._vertex_colors(all_v.shape[1])
-        vp = persp_project(jnp.asarray(all_v), jnp.asarray(self.camintr)[None])
-        out = soft_rasterize(
-            vp,
-            jnp.asarray(all_v[..., 2]),
-            jnp.asarray(all_f),
-            attrs=jnp.asarray(np.tile(colors[None], (n, 1, 1))),
-            image_size=(image_size, image_size),
-            sigma=0.7,
-            backend="xla",
-        )
-        sil = np.asarray(out.sil)[..., None]
-        rgb = np.clip(np.asarray(out.attr), 0, 1) * sil + 0.15 * (1 - sil)
-        self.images = (rgb * 255).astype(np.uint8)
+            self.verts = np.asarray(verts)
+            self.joints = np.asarray(joints)
+            wrist = self.joints[:, 0]
+            self.obj_pose = np.tile(np.eye(4, dtype=np.float32), (n, 1, 1))
+            self.obj_pose[:, :3, 3] = wrist + np.array(
+                [0.0, 0.04, 0.02], np.float32
+            )
+
+            # Render all frames once (hand + object, vertex-colored).
+            all_v = self.verts
+            all_f = np.asarray(self.mano.faces)
+            if with_object:
+                obj_v = (
+                    self.obj_verts_can[None]
+                    @ self.obj_pose[:, :3, :3].transpose(0, 2, 1)
+                    + self.obj_pose[:, None, :3, 3]
+                )
+                all_v = np.concatenate([all_v, obj_v], axis=1)
+                all_f = np.concatenate(
+                    [all_f, self.obj_faces + self.verts.shape[1]], axis=0
+                )
+            colors = self._vertex_colors(all_v.shape[1])
+            vp = persp_project(jnp.asarray(all_v), jnp.asarray(self.camintr)[None])
+            out = soft_rasterize(
+                vp,
+                jnp.asarray(all_v[..., 2]),
+                jnp.asarray(all_f),
+                attrs=jnp.asarray(np.tile(colors[None], (n, 1, 1))),
+                image_size=(image_size, image_size),
+                sigma=0.7,
+                # auto: Pallas on TPU (the giant unrolled XLA scan at 256px
+                # costs 10+ min of compile over the axon tunnel — BENCH_r02's
+                # 884 s data setup), XLA on CPU (tests; interpret-mode Pallas
+                # would be far slower there).
+                backend="auto",
+            )
+            sil = np.asarray(out.sil)[..., None]
+            rgb = np.clip(np.asarray(out.attr), 0, 1) * sil + 0.15 * (1 - sil)
+            self.images = (rgb * 255).astype(np.uint8)
+            self._cache_save(n_videos, seed)
 
         # Sparse supervision: mark ~fraction of frames per video, always
         # including the first frame (the annotated "ref" anchor).
@@ -181,6 +212,51 @@ class SyntheticHandDataset:
         for v in range(n_videos):
             idx = np.arange(v * frames_per_video, (v + 1) * frames_per_video)
             self.supervised[idx[::step]] = True
+
+    # ---- rendered-frame disk cache ------------------------------------
+    def _cache_path(self, n_videos: int, seed: int) -> str | None:
+        """Cache file for the (verts, joints, images) arrays, or None if
+        caching is disabled (``HOCON_SYNTH_CACHE=0``)."""
+        if os.environ.get("HOCON_SYNTH_CACHE", "1") == "0":
+            return None
+        import jax
+
+        backend = "xla" if jax.default_backend() == "cpu" else "pallas"
+        h = hashlib.sha1()
+        h.update(str((
+            _RENDER_CACHE_VERSION, n_videos, self.frames_per_video,
+            self.image_size, seed, self.with_object, self.mano.side, backend,
+        )).encode())
+        # Every array that feeds the render: MANO assets + object mesh.
+        for a in (self.mano.v_template, self.mano.shapedirs, self.mano.posedirs,
+                  self.mano.joint_regressor, self.mano.skin_weights,
+                  self.mano.hands_components, self.mano.hands_mean,
+                  self.mano.faces, self.obj_verts_can, self.obj_faces):
+            h.update(np.ascontiguousarray(np.asarray(a)).tobytes())
+        cache_dir = os.environ.get(
+            "HOCON_CACHE_DIR", os.path.expanduser("~/.cache/hocon")
+        )
+        return os.path.join(cache_dir, f"synth-{h.hexdigest()[:16]}.npz")
+
+    def _cache_load(self, n_videos: int, seed: int):
+        path = self._cache_path(n_videos, seed)
+        if path is None or not os.path.exists(path):
+            return None
+        try:
+            with np.load(path) as z:
+                return z["verts"], z["joints"], z["images"]
+        except Exception:  # corrupt/partial file -> regenerate
+            return None
+
+    def _cache_save(self, n_videos: int, seed: int) -> None:
+        path = self._cache_path(n_videos, seed)
+        if path is None:
+            return
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tmp = f"{path}.tmp.{os.getpid()}"
+        with open(tmp, "wb") as f:  # handle: np.savez must not append ".npz"
+            np.savez(f, verts=self.verts, joints=self.joints, images=self.images)
+        os.replace(tmp, path)  # atomic: concurrent writers can't corrupt
 
     @staticmethod
     def _vertex_colors(nv: int) -> np.ndarray:
@@ -227,15 +303,14 @@ class SyntheticHandDataset:
 
     def sample_pair(self, i: int, rng: np.random.Generator) -> tuple[int, int]:
         """(annotated ref frame, temporally-offset tgt frame) in i's video."""
+        from hocon.data.pairing import pair_target
+
         video = i // self.frames_per_video
         base = video * self.frames_per_video
         sup = np.nonzero(self.supervised[base : base + self.frames_per_video])[0]
         local = i - base
         ref_local = int(sup[np.argmin(np.abs(sup - local))])
-        offset = int(rng.integers(1, self.pair_spacing + 1)) * (
-            1 if rng.random() < 0.5 else -1
-        )
-        tgt_local = int(np.clip(ref_local + offset, 0, self.frames_per_video - 1))
-        if tgt_local == ref_local:
-            tgt_local = min(ref_local + 1, self.frames_per_video - 1)
+        tgt_local = pair_target(ref_local, self.frames_per_video,
+                                self.pair_spacing, rng,
+                                fixed=self.pair_fixed_spacing)
         return base + ref_local, base + tgt_local

@@ -37,6 +37,7 @@ class HOCNet(nn.Module):
     obj_rot_param: str = "6d"
     backbone: str = "resnet18"
     freeze_batchnorm: bool = True
+    z_init: float = 0.6  # initial root/object depth for both trans heads
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -57,7 +58,7 @@ class HOCNet(nn.Module):
         pose_pca, betas, root_rot = ManoHead(ncomps=self.ncomps, name="mano_head")(
             feats
         )
-        trans = AbsoluteHead(name="absolute_head")(feats)
+        trans = AbsoluteHead(z_init=self.z_init, name="absolute_head")(feats)
 
         verts_m, joints_m = mano_forward(
             mano, pose_pca, betas, root_rot, scale_mm=False
@@ -83,7 +84,7 @@ class HOCNet(nn.Module):
         if self.with_object and obj_verts_can is not None:
             obj_rot, obj_trans = ObjPoseHead(
                 rot_param=self.obj_rot_param, block_rot=self.block_rot,
-                name="obj_head",
+                z_init=self.z_init, name="obj_head",
             )(feats)
             obj_cam = transform_points(obj_verts_can, obj_rot, obj_trans)
             out.update(

@@ -37,9 +37,10 @@ def _band_matrix_np(n: int, window_size: int, sigma: float) -> np.ndarray:
     r = (window_size - 1) // 2
     for t in range(window_size):
         off = t - r
-        d = np.diagonal(m, offset=off)
-        d.setflags(write=True)
-        d += g[t]
+        # Explicit index arithmetic (writing through np.diagonal's view is
+        # deprecated and will break on a future NumPy).
+        rows = np.arange(max(0, -off), min(n, n - off))
+        m[rows, rows + off] += g[t]
     return m.astype(np.float32)
 
 

@@ -104,13 +104,17 @@ def import_resnet_trunk(
 # function identical to the reference's raw regression.
 # --------------------------------------------------------------------------
 
-_Z_INIT = 0.6  # AbsoluteHead/ObjPoseHead z_init default
+def default_head_table(ncomps: int = 15, z_init: float = 0.6) -> list:
+    """[(flax_path, torch_prefix, bias_offset|None), ...] for HOCNet heads.
 
-
-def default_head_table(ncomps: int = 15) -> list:
-    """[(flax_path, torch_prefix, bias_offset|None), ...] for HOCNet heads."""
+    ``z_init`` MUST match the model's ``HOCNet.z_init`` (the constant depth
+    the Absolute/ObjPose heads add to their raw output) — the offset is
+    folded into the imported final-layer biases, and a mismatched value
+    produces a silent functional z-shift with no shape error to catch it.
+    ``import_hocnet`` threads the model's actual value when given ``model=``.
+    """
     del ncomps  # shapes come from the arrays; kept for future variants
-    zoff = np.array([0.0, 0.0, -_Z_INIT], np.float32)
+    zoff = np.array([0.0, 0.0, -z_init], np.float32)
     return [
         (("mano_head", "pose_mlp", "Dense_0"), "mano_branch.base_layer.0", None),
         (("mano_head", "pose_mlp", "Dense_1"), "mano_branch.base_layer.2", None),
@@ -156,6 +160,7 @@ def import_hocnet(
     head_table: list | None = None,
     stage_sizes=(2, 2, 2, 2),
     strict_heads: bool = True,
+    model=None,
 ) -> dict:
     """Import a full reference MeshRegNet checkpoint into HOCNet variables.
 
@@ -164,6 +169,10 @@ def import_hocnet(
     only thing that should need changing). With ``strict_heads=False``,
     head entries whose torch keys are absent are skipped (e.g. a hand-only
     checkpoint into a hand+object model).
+
+    Pass ``model`` (the target HOCNet) so the bias-offset fold uses ITS
+    ``z_init`` — a hard-coded default would silently shift z for models
+    built with a non-default value.
 
     Note: the object ROTATION import requires ``obj_rot_param='axisang'``
     (the reference regresses axis-angle; the default 6d head has a
@@ -175,7 +184,11 @@ def import_hocnet(
         variables, state_dict, prefix=trunk_prefix, stage_sizes=stage_sizes
     )
     params = copy.deepcopy(dict(variables["params"]))
-    table = head_table if head_table is not None else default_head_table()
+    if head_table is not None:
+        table = head_table
+    else:
+        z_init = getattr(model, "z_init", 0.6) if model is not None else 0.6
+        table = default_head_table(z_init=z_init)
     for flax_path, torch_prefix, bias_offset in table:
         head = flax_path[0]
         if head not in params:
