@@ -49,6 +49,13 @@ def main(argv=None):
         synth_videos=args.synth_videos, synth_frames=args.synth_frames,
         decimate_objects_to=getattr(args, "decimate_objects_to", 0),
     )
+    if getattr(args, "check_data", False):
+        from hocon.data.check import check_dataset
+
+        raise SystemExit(
+            1 if check_dataset(ds, args.val_split,
+                               max_seqs=args.check_data_seqs) else 0
+        )
     loader = BatchLoader(
         ds, args.batch_size, shuffle=False, drop_last=False,
         shard_index=jax.process_index(), shard_count=jax.process_count(),

@@ -111,6 +111,13 @@ def add_data_opts(p: argparse.ArgumentParser):
                         "for the rasterizer)")
     g.add_argument("--synth_videos", type=int, default=8)
     g.add_argument("--synth_frames", type=int, default=8)
+    g.add_argument("--check_data", action="store_true",
+                   help="parse the dataset tree, pull one sample per "
+                        "sequence through the full pipeline, print shapes/"
+                        "ranges/anomalies, and exit (first-contact "
+                        "de-risking for real dataset mounts)")
+    g.add_argument("--check_data_seqs", type=int, default=0,
+                   help="cap sequences checked by --check_data (0 = all)")
 
 
 def add_warp_opts(p: argparse.ArgumentParser):

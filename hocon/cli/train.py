@@ -168,6 +168,16 @@ def setup_common(args):
         synth_videos=max(2, args.synth_videos // 4), synth_frames=args.synth_frames,
         decimate_objects_to=getattr(args, "decimate_objects_to", 0),
     )
+    if getattr(args, "check_data", False):
+        from hocon.data.check import check_dataset
+
+        n_bad = check_dataset(
+            train_ds, args.split, max_seqs=args.check_data_seqs
+        )
+        n_bad += check_dataset(
+            val_ds, args.val_split, max_seqs=args.check_data_seqs
+        )
+        raise SystemExit(1 if n_bad else 0)
     if args.workers > 0:
         from hocon.data.pipeline import GrainEpochLoader
 

@@ -34,6 +34,14 @@ def get_dataset(
     synth_obj_faces: int = 0,
     decimate_objects_to: int = 0,
 ) -> HandDataset:
+    if name in ("fhbhands", "fphab", "ho3dv2", "ho3d") and use_objects:
+        # Raw FPHAB PLY / YCB OBJ meshes exceed the rasterizer's padded
+        # buffers (HandDataset raises rather than truncating), so real
+        # datasets default the decimation budget to the face cap — an
+        # explicit --decimate_objects_to still wins (advisor r2: the
+        # error otherwise surfaces only mid-training).
+        decimate_objects_to = decimate_objects_to or max_obj_faces
+
     if name in ("fhbhands", "fphab"):
         from hocon.data.fphab import FPHAB
 

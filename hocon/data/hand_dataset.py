@@ -211,7 +211,9 @@ class HandDataset:
     def __getitem__(self, i: int) -> dict:
         rng = np.random.default_rng((self._seed, i))
         if not self.cfg.pair_mode:
-            return self._process_frame(self.pose_dataset.get_sample(i), rng)
+            out = self._process_frame(self.pose_dataset.get_sample(i), rng)
+            out["sample_idx"] = np.int64(i)
+            return out
         color_seed = (self._seed, i, 7)
         ref_i, tgt_i = self.pose_dataset.sample_pair(i, rng)
         ref = self._process_frame(

@@ -88,6 +88,14 @@ class HO3D:
         self.split_dir = split_dir
         self.entries = entries
         self._obj_cache: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+        # Parse every meta pickle ONCE here (the reference parses metas at
+        # init too — SURVEY.md §2.1 HO-3D row) and precompute everything
+        # that needs jax (MANO fit vertices, object rotations) in batched
+        # calls, so ``get_sample`` is pure numpy indexing: eager dispatch
+        # is ~100ms/op on this host and would dominate real-data loading.
+        self._parse_metas()
+        self._precompute_fit_verts()
+        self._precompute_obj_poses()
 
         # Group by sequence for pair sampling / fraction marking.
         self._seq_bounds = []
@@ -161,42 +169,122 @@ class HO3D:
                 return base + ext
         return base + ".png"
 
-    def get_sample(self, i: int) -> dict:
-        entry = self.entries[i]
-        with open(self._meta_path(entry), "rb") as f:
-            meta = pickle.load(f, encoding="latin1")
+    def _parse_metas(self):
+        """One pass over all meta pickles into compact shared arrays.
 
-        camintr = np.asarray(meta["camMat"], np.float32)
-        joints = meta.get("handJoints3D")
-        if joints is not None and np.asarray(joints).ndim == 2:
-            joints_cam = (
-                np.asarray(joints, np.float32)[list(MANO_TO_STANDARD)] @ COORD_FLIP.T
-            )
-        elif joints is not None:  # evaluation split: root joint only
-            root = np.asarray(joints, np.float32) @ COORD_FLIP.T
-            joints_cam = np.tile(root[None], (21, 1))
-        else:
-            joints_cam = np.zeros((21, 3), np.float32)
-
-        verts_cam = None
-        if (
-            self.mano is not None
-            and meta.get("handPose") is not None
-            and meta.get("handBeta") is not None
-        ):
-            verts_cam = self._mano_verts(
-                np.asarray(meta["handPose"], np.float32),
-                np.asarray(meta["handBeta"], np.float32),
-                np.asarray(
+        Shared read-only numpy arrays are fork-friendly for multiprocess
+        loader workers (copy-on-write), unlike a list of per-frame dicts.
+        """
+        n = len(self.entries)
+        self._camintr = np.zeros((n, 3, 3), np.float32)
+        self._joints_cam = np.zeros((n, 21, 3), np.float32)
+        self._pose48 = np.zeros((n, 48), np.float32)
+        self._betas = np.zeros((n, 10), np.float32)
+        self._trans = np.zeros((n, 3), np.float32)
+        self._has_fit = np.zeros(n, bool)
+        self._obj_rvec = np.zeros((n, 3), np.float32)
+        self._obj_tvec = np.zeros((n, 3), np.float32)
+        self._has_obj = np.zeros(n, bool)
+        self._obj_name: list[Optional[str]] = [None] * n
+        reorder = list(MANO_TO_STANDARD)
+        for i, entry in enumerate(self.entries):
+            with open(self._meta_path(entry), "rb") as f:
+                meta = pickle.load(f, encoding="latin1")
+            self._camintr[i] = np.asarray(meta["camMat"], np.float32)
+            joints = meta.get("handJoints3D")
+            if joints is not None and np.asarray(joints).ndim == 2:
+                self._joints_cam[i] = (
+                    np.asarray(joints, np.float32)[reorder] @ COORD_FLIP.T
+                )
+            elif joints is not None:  # evaluation split: root joint only
+                root = np.asarray(joints, np.float32) @ COORD_FLIP.T
+                self._joints_cam[i] = np.tile(root[None], (21, 1))
+            if meta.get("handPose") is not None and meta.get("handBeta") is not None:
+                self._has_fit[i] = True
+                self._pose48[i] = np.asarray(meta["handPose"], np.float32)
+                self._betas[i] = np.asarray(meta["handBeta"], np.float32)
+                self._trans[i] = np.asarray(
                     meta.get("handTrans", np.zeros(3)), np.float32
-                ),
-            )
+                )
+            if meta.get("objName") is not None:
+                self._has_obj[i] = True
+                self._obj_name[i] = meta["objName"]
+                self._obj_rvec[i] = np.asarray(meta["objRot"], np.float32).ravel()
+                self._obj_tvec[i] = np.asarray(meta["objTrans"], np.float32).ravel()
 
+    def _precompute_fit_verts(self, chunk: int = 1024):
+        """Batched MANO forward over ALL fitted frames, once, at init
+        (mirrors ``fphab._precompute_fit_verts``)."""
+        n = len(self.entries)
+        self._fit_row = np.full(n, -1, np.int64)
+        if self.mano is None or not self._has_fit.any():
+            return
+        import jax
+        import jax.numpy as jnp
+
+        from hocon.geometry.mano import mano_forward
+
+        @jax.jit
+        def fwd(pose, betas, trans):  # pose (N, 48) incl. root aa
+            v, _ = mano_forward(
+                self.mano, pose[:, 3:], betas, pose[:, :3], trans=trans,
+                use_pca=False,  # HO-3D stores full 45-dof axis-angle
+                flat_hand_mean=False,
+                scale_mm=False,
+            )
+            return v
+
+        rows = np.nonzero(self._has_fit)[0]
+        pose, betas, trans = (
+            self._pose48[rows], self._betas[rows], self._trans[rows]
+        )
+        m = len(rows)
+        out = np.empty((m, self.mano.v_template.shape[0], 3), np.float32)
+        for s0 in range(0, m, chunk):
+            s1 = min(s0 + chunk, m)
+            pad = chunk - (s1 - s0)  # fixed chunk shape -> one compile
+            out[s0:s1] = np.asarray(
+                fwd(
+                    jnp.asarray(np.pad(pose[s0:s1], ((0, pad), (0, 0)))),
+                    jnp.asarray(np.pad(betas[s0:s1], ((0, pad), (0, 0)))),
+                    jnp.asarray(np.pad(trans[s0:s1], ((0, pad), (0, 0)))),
+                )
+            )[: s1 - s0]
+        # OpenGL fit frame -> CV camera frame.
+        self._fit_verts = (out @ COORD_FLIP.T).astype(np.float32)
+        self._fit_row[rows] = np.arange(m)
+
+    def _precompute_obj_poses(self):
+        """One batched Rodrigues over every object rotation at init."""
+        n = len(self.entries)
+        self._obj_pose = np.zeros((n, 4, 4), np.float32)
+        rows = np.nonzero(self._has_obj)[0]
+        if not len(rows):
+            return
+        import jax.numpy as jnp
+
+        from hocon.geometry.rot import rodrigues
+
+        rots = np.asarray(rodrigues(jnp.asarray(self._obj_rvec[rows])))
+        pose = np.tile(np.eye(4, dtype=np.float32), (len(rows), 1, 1))
+        pose[:, :3, :3] = COORD_FLIP @ rots
+        pose[:, :3, 3] = self._obj_tvec[rows] @ COORD_FLIP.T
+        self._obj_pose[rows] = pose
+
+    def get_sample(self, i: int) -> dict:
+        """Pure host-side array indexing — no jax dispatch, no meta IO
+        (everything device-side was precomputed at init; asserted by
+        ``test_ho3d_get_sample_is_jax_free``)."""
+        entry = self.entries[i]
+        has_fit = bool(self._has_fit[i])
+        verts_cam = None
+        if self.mano is not None and self._fit_row[i] >= 0:
+            verts_cam = self._fit_verts[self._fit_row[i]]
         out = {
             "image_path": self._rgb_path(entry),
-            "joints3d_cam": joints_cam,
+            "joints3d_cam": self._joints_cam[i],
             "verts3d_cam": verts_cam,
-            "camintr": camintr,
+            "camintr": self._camintr[i],
             "obj_verts_can": None,
             "obj_faces": None,
             "obj_pose": None,
@@ -204,57 +292,16 @@ class HO3D:
             "seq_id": entry.split("/")[0],
             "frame_idx": int(entry.split("/")[1]),
             "side": "right",
-            "mano_pose": np.asarray(meta["handPose"], np.float32)
-            if meta.get("handPose") is not None
-            else None,
-            "mano_betas": np.asarray(meta["handBeta"], np.float32)
-            if meta.get("handBeta") is not None
-            else None,
+            "mano_pose": self._pose48[i] if has_fit else None,
+            "mano_betas": self._betas[i] if has_fit else None,
         }
-        if self.use_objects and meta.get("objName") is not None:
-            verts, faces = self._load_object(meta["objName"])
-            from hocon.geometry.rot import rodrigues
-
-            import jax.numpy as jnp
-
-            rot = np.asarray(
-                rodrigues(jnp.asarray(meta["objRot"], jnp.float32).reshape(1, 3))
-            )[0]
-            pose = np.eye(4, dtype=np.float32)
-            pose[:3, :3] = COORD_FLIP @ rot
-            pose[:3, 3] = COORD_FLIP @ np.asarray(meta["objTrans"], np.float32)
-            out.update(obj_verts_can=verts, obj_faces=faces, obj_pose=pose)
-        return out
-
-    def _mano_verts(self, pose48: np.ndarray, betas: np.ndarray,
-                    trans: np.ndarray) -> np.ndarray:
-        """Camera-frame hand vertices from a HO-3D MANO fit (meters)."""
-        import jax
-        import jax.numpy as jnp
-
-        from hocon.geometry.mano import mano_forward
-
-        @jax.jit
-        def fwd(pose, betas, trans):
-            v, _ = mano_forward(
-                self.mano,
-                pose[None, 3:],
-                betas[None],
-                pose[None, :3],
-                trans=trans[None],
-                use_pca=False,  # HO-3D stores full 45-dof axis-angle
-                flat_hand_mean=False,
-                scale_mm=False,
+        if self.use_objects and self._has_obj[i]:
+            verts, faces = self._load_object(self._obj_name[i])
+            out.update(
+                obj_verts_can=verts, obj_faces=faces,
+                obj_pose=self._obj_pose[i],
             )
-            return v[0]
-
-        if not hasattr(self, "_mano_fwd"):
-            self._mano_fwd = fwd
-        verts_gl = np.asarray(
-            self._mano_fwd(jnp.asarray(pose48), jnp.asarray(betas),
-                           jnp.asarray(trans))
-        )
-        return (verts_gl @ COORD_FLIP.T).astype(np.float32)
+        return out
 
     def sample_pair(self, i: int, rng: np.random.Generator) -> tuple[int, int]:
         from hocon.data.pairing import pair_target

@@ -104,7 +104,13 @@ class GrainEpochLoader:
     processes and prefetches; this adapter slices the resulting infinite
     stream into epochs so it is drop-in for ``BatchLoader`` in the train
     loop (train only — eval needs the tail-validity masks of BatchLoader).
+
+    ``train_only`` is enforced by ``hocon.train.loop.epoch_pass``: feeding
+    this loader to an eval pass would silently drop the dataset tail
+    (``drop_remainder=True``, no ``_valid`` masks) and bias the metrics.
     """
+
+    train_only = True
 
     def __init__(
         self,

@@ -363,6 +363,7 @@ def soft_rasterize(
         on_tpu = jax.default_backend() not in ("cpu",)
         backend = "pallas" if on_tpu else "xla"
     if backend == "pallas":
+        from hocon.render import raster_pallas
         from hocon.render.raster_pallas import (
             rasterize_planes_pallas,
             sort_faces_by_y,
@@ -372,7 +373,12 @@ def soft_rasterize(
         # differentiable (B, F, R, 3) plane rows are then born in sorted
         # order, so packing needs no take_along_axis on them (and the
         # backward no scatter) — the sort permutes only integer metadata.
-        faces_sorted, face_bbox = sort_faces_by_y(verts_pix, faces)
+        # With two-level culling enabled, a secondary x-sort within y-bands
+        # tightens per-chunk x-bboxes (see raster_pallas.BAND_CHUNKS).
+        band_faces = raster_pallas.BAND_CHUNKS * raster_pallas.FACE_CHUNK
+        faces_sorted, face_bbox = sort_faces_by_y(
+            verts_pix, faces, band_faces=band_faces
+        )
         planes = face_planes(verts_pix, zbar, faces_sorted, attrs)
         return rasterize_planes_pallas(
             planes, face_bbox, image_size=image_size, sigma=sigma,

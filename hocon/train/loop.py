@@ -38,6 +38,12 @@ def epoch_pass(
     In eval mode ``step_fn(state, batch) -> preds`` and MPJPE / AUC /
     object vertex error are accumulated host-side (EvalUtil).
     """
+    if not train and getattr(loader, "train_only", False):
+        raise ValueError(
+            f"{type(loader).__name__} is train-only (drops the dataset tail "
+            "and carries no _valid masks); evaluation must use BatchLoader "
+            "so every sample is scored exactly once."
+        )
     meters = AverageMeters()
     timer = StepTimer()
     evaluator = EvalUtil() if not train else None

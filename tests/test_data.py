@@ -177,6 +177,43 @@ def test_grain_epoch_loader(synth):
     assert b0[0][TransQueries.IMAGE.value].shape == (4, 64, 64, 3)
 
 
+def test_grain_epoch_loader_rejected_by_eval_pass(synth):
+    """Feeding the tail-dropping Grain loader to an eval pass must be an
+    error, not a silent metric bias (VERDICT r2 #8)."""
+    pytest.importorskip("grain")
+    from hocon.data.pipeline import GrainEpochLoader
+    from hocon.train.loop import epoch_pass
+
+    ds = HandDataset(synth, HandDatasetConfig(image_size=64))
+    loader = GrainEpochLoader(ds, batch_size=4, shuffle=True, seed=0)
+    with pytest.raises(ValueError, match="train-only"):
+        epoch_pass(loader, state=None, step_fn=None, train=False)
+
+
+def test_grain_epoch_loader_workers_epoch_boundary(synth):
+    """worker_count > 0: epochs stay the declared length, every sample id
+    appears exactly once per epoch, and the stream continues cleanly
+    across the epoch boundary (VERDICT r2 #8)."""
+    pytest.importorskip("grain")
+    from hocon.data.pipeline import GrainEpochLoader
+
+    ds = HandDataset(synth, HandDatasetConfig(image_size=64))
+    loader = GrainEpochLoader(
+        ds, batch_size=4, shuffle=True, seed=0, worker_count=2
+    )
+    epochs = [list(loader.epoch(e)) for e in range(2)]
+    for batches in epochs:
+        assert len(batches) == loader.steps_per_epoch()
+        for b in batches:
+            assert b[TransQueries.IMAGE.value].shape == (4, 64, 64, 3)
+        ids = np.concatenate(
+            [np.asarray(b["sample_idx"]).ravel() for b in batches]
+        )
+        # Full-epoch coverage: each dataset index exactly once (8 samples,
+        # batch 4, 2 steps -> no repeats and no drops within the epoch).
+        assert len(np.unique(ids)) == len(ids)
+
+
 def test_rotation_aug_rotates_3d_labels(synth):
     """In-plane rotation jitter must rotate 3D labels about the optical
     axis (round-1 advisor, high severity): the adjusted K carries no

@@ -178,6 +178,33 @@ def test_ho3d_mano_fit_verts(tmp_path, mano_model):
     assert v[:, 2].mean() > 0
 
 
+def test_ho3d_get_sample_is_jax_free(tmp_path, mano_model, monkeypatch):
+    """MANO fit vertices and object rotations are precomputed (batched) at
+    init; ``get_sample`` must not touch jax or re-read meta pickles —
+    eager dispatch is ~100ms/op on this host and would dominate real-data
+    loading (VERDICT r2 #4)."""
+    root = str(tmp_path)
+    _write_ho3d_tree(root, split="train")
+    ds = H.HO3D(root, split="train", use_objects=True, mano=mano_model)
+
+    import jax
+    import jax.numpy as jnp
+
+    def boom(*a, **k):
+        raise AssertionError("jax dispatch inside get_sample")
+
+    monkeypatch.setattr(jnp, "asarray", boom)
+    monkeypatch.setattr(jax, "jit", boom)
+    monkeypatch.setattr(H, "pickle", None)  # any meta re-read -> AttributeError
+    for i in range(len(ds)):
+        s = ds.get_sample(i)
+    assert s["verts3d_cam"].shape == (778, 3)
+    assert s["obj_pose"][2, 3] > 0
+    # The precomputed path must agree with the per-sample math it replaced.
+    assert s["joints3d_cam"][:, 2].mean() > 0
+    assert s["verts3d_cam"][:, 2].mean() > 0
+
+
 def test_fphab_mano_fits(tmp_path, mano_model):
     """With MANO fits on disk, FPHAB samples carry GT hand vertices and the
     dataset declares VERTS3D (enables vertex supervision + GT-ref warps)."""
@@ -211,6 +238,42 @@ def test_fphab_mano_fits(tmp_path, mano_model):
     ds_nomano = F.FPHAB(root, split="train")
     assert BaseQueries.VERTS3D not in ds_nomano.available_queries()
     assert ds_nomano.get_sample(0)["verts3d_cam"] is None
+
+
+def test_check_data_clean_tree_reports_ok(tmp_path, capsys):
+    """--check_data walks one sample per sequence through the full pipeline
+    and reports zero anomalies on a well-formed tree."""
+    from hocon.data.check import check_dataset
+    from hocon.data.hand_dataset import HandDataset, HandDatasetConfig
+
+    root = str(tmp_path)
+    _write_fphab_tree(root)
+    ds = F.FPHAB(root, split="train", use_objects=True)
+    hd = HandDataset(
+        ds, HandDatasetConfig(image_size=64, max_obj_verts=8, max_obj_faces=4)
+    )
+    assert check_dataset(hd, "train") == 0
+    out = capsys.readouterr().out
+    assert "OK" in out and "1 sequences checked" in out
+
+
+def test_check_data_flags_anomalies(tmp_path, capsys):
+    """A broken tree (missing image, behind-camera joints) is reported as
+    anomalies, not a crash."""
+    from hocon.data.check import check_dataset
+    from hocon.data.hand_dataset import HandDataset, HandDatasetConfig
+
+    root = str(tmp_path)
+    _write_ho3d_tree(root, split="train")
+    ds = H.HO3D(root, split="train")
+    # Corrupt: flip the parsed joints behind the camera and drop the image.
+    ds._joints_cam[:, :, 2] *= -1
+    os.remove(ds._rgb_path(ds.entries[0]))
+    hd = HandDataset(ds, HandDatasetConfig(image_size=64))
+    n_bad = check_dataset(hd, "train")
+    assert n_bad >= 2
+    out = capsys.readouterr().out
+    assert "image missing" in out and "behind camera" in out
 
 
 def test_decimate_mesh_budget_and_geometry():

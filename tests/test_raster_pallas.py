@@ -5,6 +5,8 @@ pure-XLA reference backend bit-for-close on the same scenes, including
 gradients (custom VJP routed through the XLA path).
 """
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -226,3 +228,90 @@ def test_pallas_fully_offscreen_mesh_renders_background():
 
     g = jax.grad(lambda vp_: _render("pallas", vp_, vz, f, a).sil.sum())(vp)
     np.testing.assert_allclose(np.asarray(g), 0.0, atol=1e-6)
+
+
+def test_backward_vmem_guard_raises_for_huge_meshes():
+    """The single-grid backward keeps coeffs + dcoeffs resident in VMEM;
+    past the budget it must raise a diagnosable error instead of an opaque
+    Mosaic scoped-allocation failure (advisor r2)."""
+    import pytest
+
+    from hocon.render.raster_pallas import _backward_pallas
+
+    b, fp, r3, hw = 1, 200_000, 9, 16
+    coeffs = np.zeros((b, fp, r3), np.float32)
+    bounds = np.zeros((b, 4, 4), np.float32)
+    sil = np.zeros((b, hw, 128), np.float32)
+    attr = np.zeros((b, 3, hw, 128), np.float32)
+    vis = np.zeros((b, hw, 128), np.float32)
+    mden = np.zeros((b, 2, hw, 128), np.float32)
+    grads = (
+        jnp.zeros((b, hw, hw)),
+        jnp.zeros((b, 3, hw, hw)),
+        jnp.zeros((b, hw, hw)),
+    )
+    with pytest.raises(ValueError, match="VMEM"):
+        _backward_pallas(
+            (coeffs, bounds, sil, attr, vis, mden), grads, (hw, hw),
+            sigma=0.8, gamma=0.05, n_attr=3,
+        )
+
+
+def test_banded_two_level_culling_matches_xla():
+    """HOCON_BAND_CHUNKS > 0 (two-level band/x-sorted chunk culling,
+    VERDICT r2 #6) must leave forward AND backward parity with the XLA
+    backend intact. Subprocess because tile constants bind at import."""
+    import subprocess
+    import sys
+
+    script = r"""
+import os
+
+import jax
+jax.config.update("jax_platforms", "cpu")
+import numpy as np
+import jax.numpy as jnp
+from hocon.render import raster as R
+
+rng = np.random.default_rng(3)
+b, v = 2, 24
+verts_pix = jnp.asarray(rng.uniform(2, 60, (b, v, 2)).astype(np.float32))
+verts_z = jnp.asarray(rng.uniform(0.3, 1.0, (b, v)).astype(np.float32))
+faces = jnp.asarray(rng.integers(0, v, (64, 3)).astype(np.int32))
+attrs = jnp.asarray(rng.standard_normal((b, v, 2)).astype(np.float32))
+hw = (64, 256)  # 2 lane blocks at LANE_BLOCK=128 so x-ranges are exercised
+
+ox = R.soft_rasterize(verts_pix, verts_z, faces, attrs, image_size=hw,
+                      sigma=0.8, gamma=0.05, backend="xla")
+op = R.soft_rasterize(verts_pix, verts_z, faces, attrs, image_size=hw,
+                      sigma=0.8, gamma=0.05, backend="pallas")
+for n in ("sil", "attr", "depth", "vis"):
+    np.testing.assert_allclose(np.asarray(getattr(op, n)),
+                               np.asarray(getattr(ox, n)), atol=3e-4)
+
+def loss(backend):
+    def fn(vp):
+        o = R.soft_rasterize(vp, verts_z, faces, attrs, image_size=hw,
+                             sigma=0.8, gamma=0.05, backend=backend)
+        return o.sil.sum() + (o.attr ** 2).sum() + o.vis.sum()
+    return fn
+
+gx = np.asarray(jax.grad(loss("xla"))(verts_pix))
+gp = np.asarray(jax.grad(loss("pallas"))(verts_pix))
+cos = (gx * gp).sum() / (np.linalg.norm(gx) * np.linalg.norm(gp) + 1e-12)
+assert cos > 0.9999, cos
+print("BANDED-OK")
+"""
+    env = dict(
+        os.environ,
+        HOCON_BAND_CHUNKS="2",
+        HOCON_FACE_CHUNK="8",
+        HOCON_LANE_BLOCK="128",
+        JAX_PLATFORMS="cpu",
+    )
+    r = subprocess.run(
+        [sys.executable, "-c", script], env=env, capture_output=True,
+        text=True, timeout=600,
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+    assert "BANDED-OK" in r.stdout
