@@ -109,6 +109,46 @@ def main():
     t = timeit_state(sup_step, state, batch["ref"], steps=args.steps)
     print(f"supervised step:       {t * 1e3:8.2f} ms")
 
+    # --- trunk (ResNet) fwd+bwd in isolation, with XLA-reported FLOPs ---
+    # The warp step runs the trunk on 2*b images (ref + tgt jointly).
+    from hocon.models.backbone import resnet18
+
+    trunk = resnet18(dtype=jnp.bfloat16)
+    imgs = jnp.asarray(
+        np.random.default_rng(1).uniform(-2, 2, (2 * b, res, res, 3)),
+        jnp.float32,
+    )
+    tvars = trunk.init(jax.random.PRNGKey(0), imgs[:1])
+
+    def trunk_loss(params, x):
+        feats = trunk.apply(
+            {"params": params, "batch_stats": tvars["batch_stats"]}, x
+        )
+        return jnp.sum(feats.astype(jnp.float32) ** 2)
+
+    trunk_fwdbwd = jax.jit(jax.grad(trunk_loss))
+
+    def mfu(fn, fargs, t):
+        try:
+            cost = fn.lower(*fargs).compile().cost_analysis()
+            if isinstance(cost, list):
+                cost = cost[0]
+            flops = float(cost.get("flops", 0.0))
+        except Exception:
+            return ""
+        # v5e peak: ~197 TFLOP/s bf16, ~98.5 TFLOP/s f32 (MXU).
+        return (f"  [{flops / 1e9:.1f} GFLOP -> {flops / t / 1e12:.1f} "
+                f"TFLOP/s, {flops / t / 197e12 * 100:.1f}% of bf16 peak]")
+
+    t = timeit(trunk_fwdbwd, (tvars["params"], imgs), steps=args.steps)
+    print(f"trunk fwd+bwd (2b imgs):{t * 1e3:7.2f} ms"
+          + mfu(trunk_fwdbwd, (tvars["params"], imgs), t))
+
+    trunk_fwd = jax.jit(trunk_loss)
+    t = timeit(trunk_fwd, (tvars["params"], imgs), steps=args.steps)
+    print(f"trunk fwd (2b imgs):   {t * 1e3:8.2f} ms"
+          + mfu(trunk_fwd, (tvars["params"], imgs), t))
+
     # --- raster fwd / fwd+bwd on representative mesh ---
     rng = np.random.default_rng(0)
     n_hand = 778

@@ -20,8 +20,14 @@ def main():
     ap.add_argument("--res", type=int, default=256)
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument(
+        "--obj_faces", type=int, default=0,
+        help="add a UV-sphere object of ~this many faces next to the hand "
+             "(the bench's realistic-object workload)",
+    )
+    ap.add_argument(
         "--configs", nargs="*", default=None,
-        help="fc,rb,xb triples, e.g. 32,8,256 32,8,128",
+        help="fc,rb,xb[,bc] tuples, e.g. 32,8,256 32,8,128,4 "
+             "(bc = BAND_CHUNKS, 0 = single-level culling)",
     )
     args = ap.parse_args()
 
@@ -44,15 +50,29 @@ def main():
         jnp.asarray([[foc, 0, res / 2], [0, foc, res / 2], [0, 0, 1.0]])[None],
         (b, 1, 1),
     )
+    faces = mano.faces
+    if args.obj_faces:
+        import numpy as np
+
+        from hocon.data.synthetic import uv_sphere
+
+        sv, sf = uv_sphere(args.obj_faces)
+        sv = sv * 0.06 + np.asarray([0.04, 0.0, 0.62], np.float32)
+        overts = jnp.tile(jnp.asarray(sv)[None], (b, 1, 1))
+        faces = jnp.concatenate(
+            [jnp.asarray(faces), jnp.asarray(sf) + verts.shape[1]], axis=0
+        )
+        verts = jnp.concatenate([verts, overts], axis=1)
+        print(f"mesh: {verts.shape[1]} verts / {faces.shape[0]} faces")
     vp = persp_project(verts, k)
     vz = verts[..., 2]
     attrs = vp * 0.01
-    faces = mano.faces
 
-    def run_cfg(fc, rb, xb):
+    def run_cfg(fc, rb, xb, bc=0):
         os.environ["HOCON_FACE_CHUNK"] = str(fc)
         os.environ["HOCON_ROW_BLOCK"] = str(rb)
         os.environ["HOCON_LANE_BLOCK"] = str(xb)
+        os.environ["HOCON_BAND_CHUNKS"] = str(bc)
         import hocon.render.raster as R
         import hocon.render.raster_pallas as RP
 
@@ -82,8 +102,8 @@ def main():
         t_f = timeit(fwd)
         t_fb = timeit(bwd)
         print(
-            f"FC={fc:>2} RB={rb:>2} XB={xb:>3} | fwd {t_f:6.2f} ms | "
-            f"fwd+bwd {t_fb:6.2f} ms | bwd {t_fb - t_f:6.2f} ms",
+            f"FC={fc:>2} RB={rb:>2} XB={xb:>3} BC={bc:>2} | fwd {t_f:6.2f} ms"
+            f" | fwd+bwd {t_fb:6.2f} ms | bwd {t_fb - t_f:6.2f} ms",
             flush=True,
         )
 
@@ -98,8 +118,8 @@ def main():
             (16, 8, 256),
             (32, 32, 256),
         ]
-    for fc, rb, xb in configs:
-        run_cfg(fc, rb, xb)
+    for cfg in configs:
+        run_cfg(*cfg)
 
 
 if __name__ == "__main__":
