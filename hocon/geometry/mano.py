@@ -86,10 +86,30 @@ class ManoModel:
     hands_mean: jnp.ndarray
     faces: jnp.ndarray = dataclasses.field(metadata=dict(static=False))
     side: str = dataclasses.field(default="right", metadata=dict(static=True))
+    # Content fingerprint computed HOST-side at construction. Consumers that
+    # key disk caches on the model (e.g. the synthetic dataset's rendered
+    # frames) must use this rather than hashing the fields: the fields are
+    # device arrays, and on a tunneled TPU each np.asarray readback costs
+    # seconds (8 readbacks measured at 154 s total — the round-2 bench's
+    # "data setup" mystery). Empty string = unknown (hand-built models).
+    digest: str = dataclasses.field(default="", metadata=dict(static=True))
 
     @property
     def n_verts(self) -> int:
         return self.v_template.shape[0]
+
+
+def _model_digest(side: str, *host_arrays) -> str:
+    """SHA-1 over host-side (numpy) model arrays; never touches the device."""
+    import hashlib
+
+    h = hashlib.sha1()
+    h.update(side.encode())
+    for a in host_arrays:
+        a = np.ascontiguousarray(np.asarray(a))
+        h.update(str((a.dtype.str, a.shape)).encode())
+        h.update(a.tobytes())
+    return h.hexdigest()
 
 
 def _chumpy_free_load(path: str) -> dict:
@@ -137,26 +157,26 @@ def _to_dense(x: Any) -> np.ndarray:
 def load_mano_model(path: str, side: str = "right") -> ManoModel:
     """Load official MANO assets (chumpy-free) into a :class:`ManoModel`."""
     raw = _chumpy_free_load(path)
-    f32 = lambda k: jnp.asarray(_to_dense(raw[k]), dtype=jnp.float32)
-    shapedirs = np.asarray(_to_dense(raw["shapedirs"]), dtype=np.float32)
+    np32 = lambda k: np.asarray(_to_dense(raw[k]), dtype=np.float32)
+    shapedirs = np32("shapedirs")
     if side == "left":
         # Known MANO_LEFT.pkl asset bug: the x-components of shapedirs carry
         # the right-hand sign (manopth manolayer.py applies the same fix —
         # re-verify against the reference tree when mounted).
         shapedirs = shapedirs * np.array([-1.0, 1.0, 1.0], np.float32)[None, :, None]
-    shapedirs = jnp.asarray(shapedirs)
-    return ManoModel(
-        v_template=f32("v_template"),
+    host = dict(
+        v_template=np32("v_template"),
         shapedirs=shapedirs,
-        posedirs=f32("posedirs"),
-        joint_regressor=jnp.asarray(
-            _to_dense(raw["J_regressor"]), dtype=jnp.float32
-        ),
-        skin_weights=f32("weights"),
-        hands_components=f32("hands_components"),
-        hands_mean=f32("hands_mean"),
-        faces=jnp.asarray(np.asarray(raw["f"], dtype=np.int32)),
-        side=side,
+        posedirs=np32("posedirs"),
+        joint_regressor=np32("J_regressor"),
+        skin_weights=np32("weights"),
+        hands_components=np32("hands_components"),
+        hands_mean=np32("hands_mean"),
+        faces=np.asarray(raw["f"], dtype=np.int32),
+    )
+    digest = _model_digest(side, *host.values())
+    return ManoModel(
+        **{k: jnp.asarray(v) for k, v in host.items()}, side=side, digest=digest
     )
 
 
@@ -220,16 +240,23 @@ def synthetic_mano_model(seed: int = 0, side: str = "right") -> ManoModel:
     comps = np.linalg.qr(rng.standard_normal((45, 45)))[0].astype(np.float32)
     hands_mean = (rng.standard_normal(45) * 0.1).astype(np.float32)
 
+    jreg32 = jreg.astype(np.float32)
+    w32 = w.astype(np.float32)
+    digest = _model_digest(
+        side, v_template, shapedirs, posedirs, jreg32, w32, comps,
+        hands_mean, faces,
+    )
     return ManoModel(
         v_template=jnp.asarray(v_template),
         shapedirs=jnp.asarray(shapedirs),
         posedirs=jnp.asarray(posedirs),
-        joint_regressor=jnp.asarray(jreg.astype(np.float32)),
-        skin_weights=jnp.asarray(w.astype(np.float32)),
+        joint_regressor=jnp.asarray(jreg32),
+        skin_weights=jnp.asarray(w32),
         hands_components=jnp.asarray(comps),
         hands_mean=jnp.asarray(hands_mean),
         faces=jnp.asarray(faces),
         side=side,
+        digest=digest,
     )
 
 
@@ -283,6 +310,9 @@ def mirror_mano_model(model: ManoModel) -> ManoModel:
         hands_mean=jnp.asarray(hands_mean),
         faces=jnp.asarray(faces),
         side="left" if model.side == "right" else "right",
+        # Mirroring is a pure deterministic function of the source model, so
+        # the fingerprint derives from the source's without device readback.
+        digest=f"mirror:{model.digest}" if model.digest else "",
     )
 
 
