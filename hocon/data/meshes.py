@@ -39,6 +39,106 @@ def bbox_corners(verts: np.ndarray) -> np.ndarray:
     return out
 
 
+def orient_faces_outward(
+    verts: np.ndarray, faces: np.ndarray
+) -> np.ndarray:
+    """Rewind faces so every connected component is coherent and outward.
+
+    The rasterizer's backface culling (``raster.face_valid``) assumes the
+    standard convention: ``cross(v1-v0, v2-v0)`` points OUT of the mesh.
+    Real scan meshes (YCB, FPHAB PLYs) are usually coherent but not
+    guaranteed, and vertex-clustering decimation can fold an occasional
+    face; this normalizes orientation in two passes:
+
+      1. COHERENCE: breadth-first over the face-adjacency graph, flipping
+         faces so every interior edge is traversed in opposite directions
+         by its two faces (the manifold consistency condition). Non-manifold
+         edges (>2 incident faces) are resolved greedily.
+      2. OUTWARDNESS: per connected component, if the signed volume
+         ``sum det(v0, v1, v2) / 6`` is negative the whole component flips.
+         (Exact for watertight components; open patches keep pass-1's
+         coherent orientation with majority-outward sign.)
+
+    Returns a new (F, 3) int32 array; verts are untouched. O(F log F).
+    """
+    faces = np.asarray(faces, np.int64)
+    nf = len(faces)
+    if nf == 0:
+        return faces.astype(np.int32)
+    verts = np.asarray(verts, np.float64)
+
+    # Directed edges per face: (F, 3, 2) -> flat (3F, 2).
+    e = np.stack(
+        [faces[:, [0, 1]], faces[:, [1, 2]], faces[:, [2, 0]]], axis=1
+    ).reshape(-1, 2)
+    # dir_bool: stored direction relative to the canonical (min, max) order.
+    dir_bool = e[:, 0] < e[:, 1]
+    key = np.sort(e, axis=1)
+    order = np.lexsort((key[:, 1], key[:, 0]))
+    ks = key[order]
+    same = np.all(ks[1:] == ks[:-1], axis=1)
+    # Adjacency pairs: consecutive identical undirected edges (manifold
+    # edges produce exactly one pair; non-manifold chains produce a path,
+    # which the BFS resolves greedily).
+    pa, pb = order[:-1][same], order[1:][same]
+    fa, fb = pa // 3, pb // 3
+    same_dir = dir_bool[pa] == dir_bool[pb]
+
+    # Face adjacency in CSR-ish form.
+    deg = np.zeros(nf, np.int64)
+    np.add.at(deg, fa, 1)
+    np.add.at(deg, fb, 1)
+    ptr = np.concatenate([[0], np.cumsum(deg)])
+    nbr = np.empty(ptr[-1], np.int64)
+    nbr_same = np.empty(ptr[-1], bool)
+    cur = ptr[:-1].copy()
+    for u, v, s in zip(fa, fb, same_dir):
+        nbr[cur[u]], nbr_same[cur[u]] = v, s
+        cur[u] += 1
+        nbr[cur[v]], nbr_same[cur[v]] = u, s
+        cur[v] += 1
+
+    flipped = np.zeros(nf, bool)
+    visited = np.zeros(nf, bool)
+    comp_of = np.full(nf, -1, np.int64)
+    ncomp = 0
+    for seed in range(nf):
+        if visited[seed]:
+            continue
+        visited[seed] = True
+        comp_of[seed] = ncomp
+        stack = [seed]
+        while stack:
+            f = stack.pop()
+            for i in range(ptr[f], ptr[f + 1]):
+                g = nbr[i]
+                if visited[g]:
+                    continue
+                visited[g] = True
+                comp_of[g] = ncomp
+                # Same STORED direction on the shared edge means the two
+                # faces disagree; equal flip states must then differ.
+                flipped[g] = flipped[f] ^ nbr_same[i]
+                stack.append(g)
+        ncomp += 1
+
+    out = faces.copy()
+    out[flipped] = out[flipped][:, ::-1]
+
+    # Outwardness per component via signed volume (positive = outward for
+    # the cross(v1-v0, v2-v0)-points-out convention).
+    tri = verts[out]
+    vol6 = np.einsum(
+        "fi,fi->f", tri[:, 0], np.cross(tri[:, 1], tri[:, 2])
+    )
+    comp_vol = np.zeros(ncomp)
+    np.add.at(comp_vol, comp_of, vol6)
+    flip_comp = comp_vol < 0
+    sel = flip_comp[comp_of]
+    out[sel] = out[sel][:, ::-1]
+    return out.astype(np.int32)
+
+
 def _cluster_once(
     verts: np.ndarray, faces: np.ndarray, pitch: float
 ) -> tuple[np.ndarray, np.ndarray]:
@@ -87,6 +187,11 @@ def decimate_mesh(
 ) -> tuple[np.ndarray, np.ndarray]:
     """Reduce (verts, faces) to <= target_faces AND <= target_verts.
 
+    The returned faces are orientation-normalized (coherent, outward —
+    see ``orient_faces_outward``): scan meshes arrive with no winding
+    guarantee and clustering can fold an occasional face, while the
+    renderer's backface culling assumes outward winding.
+
     Both budgets are GUARANTEED (callers size rasterizer/padding buffers
     from them — over-budget meshes would be truncated downstream into faces
     with out-of-range vertex indices); ``target_verts`` defaults to
@@ -102,6 +207,18 @@ def decimate_mesh(
     shrinking the kept set until the referenced-vertex budget also holds —
     a valid sub-mesh, never out-of-range indices.
     """
+    v, f = _decimate_mesh_impl(verts, faces, target_faces, max_iters,
+                               target_verts)
+    return v, orient_faces_outward(v, f)
+
+
+def _decimate_mesh_impl(
+    verts: np.ndarray,
+    faces: np.ndarray,
+    target_faces: int,
+    max_iters: int = 32,
+    target_verts: int | None = None,
+) -> tuple[np.ndarray, np.ndarray]:
     verts = np.asarray(verts, np.float32)
     faces = np.asarray(faces, np.int64)
     tv = target_faces if target_verts is None else target_verts

@@ -75,7 +75,12 @@ def uv_sphere(target_faces: int) -> tuple[np.ndarray, np.ndarray]:
             c, d = idx(i + 1, j), idx(i + 1, j + 1)
             faces.append([a, d, b])
             faces.append([a, c, d])
-    return verts, np.asarray(faces, np.int32)
+    from hocon.data.meshes import orient_faces_outward
+
+    # Normalize winding: the hand-built fans/quads leave one pole fan
+    # wound inward, which would punch holes under backface culling.
+    faces = orient_faces_outward(verts, np.asarray(faces, np.int32))
+    return verts, faces
 
 
 class SyntheticHandDataset:

@@ -44,6 +44,7 @@ from hocon.render.raster import (
     FacePlanes,
     RasterOutput,
     face_det2d,
+    face_valid,
     gather_faces,
     rasterize_planes_xla,
 )
@@ -93,7 +94,10 @@ def _round_up(x: int, m: int) -> int:
 
 
 def sort_faces_by_y(
-    verts_pix: jnp.ndarray, faces: jnp.ndarray, band_faces: int = 0
+    verts_pix: jnp.ndarray,
+    faces: jnp.ndarray,
+    band_faces: int = 0,
+    backface_cull: bool = False,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Sort INT face indices by screen-space y-center (pure scheduling).
 
@@ -103,8 +107,10 @@ def sort_faces_by_y(
     the (B, F, R, 3) rows tensor and its backward no scatter. Everything
     here is stop-gradient.
 
-    Degenerate faces (same |2*area| criterion as ``face_planes``' validity)
-    sort last so inert chunks cluster and cull in one bounds check.
+    Culled faces (the shared ``face_valid`` predicate — degenerate, plus
+    backfacing when ``backface_cull``; MUST match ``face_planes``'s
+    setting) sort last so inert chunks cluster and cull in one bounds
+    check.
 
     ``band_faces`` > 0 applies a SECONDARY x-center sort within consecutive
     bands of that many faces of the y-order (two-level culling — see
@@ -119,7 +125,7 @@ def sort_faces_by_y(
     if faces.ndim == 2:
         faces = jnp.broadcast_to(faces[None], (vp.shape[0],) + faces.shape)
     fv = gather_faces(vp, faces)  # (B, F, 3, 2)
-    valid = jnp.abs(face_det2d(fv)) > _AREA_EPS
+    valid = face_valid(fv, backface_cull)
     ymin = jnp.min(fv[..., 1], axis=-1)
     ymax = jnp.max(fv[..., 1], axis=-1)
     ycenter = jnp.where(valid, 0.5 * (ymin + ymax), jnp.inf)

@@ -198,6 +198,7 @@ def render_warp(
     sigma: float = 1.0,
     gamma: float = 1.0 / 40.0,
     backend: str = "auto",
+    backface_cull: bool = True,
 ) -> WarpOutput:
     """Warp ``ref_image`` into the target view via the predicted meshes.
 
@@ -220,6 +221,10 @@ def render_warp(
         sigma=sigma,
         gamma=gamma,
         backend=backend,
+        # Predicted meshes here are MANO + orientation-fixed objects: both
+        # closed and outward-wound, so culling camera-averted faces leaves
+        # the warp nearly unchanged at ~half the raster cost (face_valid).
+        backface_cull=backface_cull,
     )
     warped = bilinear_sample(ref_image, out.attr)
     mask = out.sil * out.vis

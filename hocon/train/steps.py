@@ -140,6 +140,7 @@ def make_warp_train_step(
     gamma: float = 1.0 / 40.0,
     backend: str = "auto",
     photo_downscale: int = 1,
+    backface_cull: bool = True,
 ) -> Callable:
     """Frame-pair photometric-consistency train step (the reference novelty).
 
@@ -147,6 +148,12 @@ def make_warp_train_step(
     mask and the target image by that factor before warping, cutting the
     (gather-bound) warp cost ~quadratically. 1 = reference-faithful
     full-resolution photometric term.
+
+    ``backface_cull`` (default ON) drops camera-averted faces from the
+    warp render — MANO and the (orientation-fixed) object meshes are
+    outward-wound, and every backface of a closed mesh is occluded, so the
+    rendered coords/mask are near-identical while the rasterizer does
+    roughly half the work. Disable for meshes with unknown winding.
     """
 
     def loss_fn(params, batch_stats, batch):
@@ -195,6 +202,7 @@ def make_warp_train_step(
         raster = soft_rasterize(
             tgt_pix, verts_tgt[..., 2], faces, attrs=ref_pix,
             image_size=image_size, sigma=sigma, gamma=gamma, backend=backend,
+            backface_cull=backface_cull,
         )
         coords, mask = raster.attr, raster.sil * raster.vis
         tgt_img = _unnormalize(tgt["image"])

@@ -6,8 +6,14 @@
 over ALL frames of the training videos — only `--fraction` of which carry
 annotations; the rest are covered only by the warp loss.
 
-Run on TPU:  python scripts/repro_synthetic_consistency.py
-Writes results JSON to stdout (and per-stage prints to stderr).
+Run on TPU:  python scripts/repro_synthetic_consistency.py [SEED]
+             python scripts/repro_synthetic_consistency.py [SEED] --obj_faces 1280
+
+``--obj_faces N`` switches the scene to the realistic-object variant (a
+~N-face UV sphere standing in for a decimated YCB mesh, rendered INTO the
+frames and predicted by the object head), so the consistency-gain claim is
+measured at real-data face counts, not just the 12-face box
+(VERDICT r2 #1). Writes results JSON to stdout (per-stage prints on stderr).
 """
 
 from __future__ import annotations
@@ -32,7 +38,7 @@ STEPS_WARP = 300
 VIDEOS, FRAMES = 8, 8
 
 
-def main(seed: int = 0):
+def main(seed: int = 0, obj_faces: int = 0):
     import jax.numpy as jnp
 
     from hocon.data.factory import get_dataset
@@ -43,13 +49,16 @@ def main(seed: int = 0):
     from hocon.train.state import create_train_state, make_optimizer
     from hocon.train.steps import make_eval_step, make_train_step, make_warp_train_step
 
+    with_object = obj_faces > 0
     mano = synthetic_mano_model(0)
-    model = HOCNet(with_object=False, freeze_batchnorm=True, dtype=jnp.bfloat16)
+    model = HOCNet(with_object=with_object, freeze_batchnorm=True,
+                   dtype=jnp.bfloat16)
     optimizer = make_optimizer("adam", 2e-4)
 
     common = dict(
-        image_size=RES, use_objects=False, mano=mano,
+        image_size=RES, use_objects=with_object, mano=mano,
         synth_videos=VIDEOS, synth_frames=FRAMES, seed=seed,
+        synth_obj_faces=obj_faces,
     )
     t0 = time.time()
     ds_single = get_dataset("synthetic", "train", fraction=FRACTION,
@@ -104,7 +113,8 @@ def main(seed: int = 0):
     # --- Stage A: sparse supervision only ---
     sample = next(iter(loader_single))
     state = create_train_state(model, mano, optimizer, sample,
-                               jax.random.PRNGKey(seed), with_object=False)
+                               jax.random.PRNGKey(seed),
+                               with_object=with_object)
     step_base = make_train_step(model, mano, optimizer)
     state = train(state, loader_single, step_base, STEPS_BASE, "baseline")
     base_all, base_unsup = evaluate(state, "baseline")
@@ -114,7 +124,8 @@ def main(seed: int = 0):
 
     copy = lambda t: jax.tree_util.tree_map(jnp2.copy, t)
     warp_state = create_train_state(model, mano, optimizer, sample,
-                                    jax.random.PRNGKey(0), with_object=False)
+                                    jax.random.PRNGKey(0),
+                                    with_object=with_object)
     # Copies: train steps donate their input state buffers.
     warp_state = type(warp_state)(
         params=copy(state.params), batch_stats=copy(state.batch_stats),
@@ -133,6 +144,7 @@ def main(seed: int = 0):
 
     print(json.dumps({
         "seed": seed,
+        "obj_faces": obj_faces,
         "fraction": FRACTION,
         "baseline_mpjpe_unannotated_mm": round(base_unsup, 2),
         "control_extra_steps_mpjpe_unannotated_mm": round(ctrl_unsup, 2),
@@ -144,4 +156,10 @@ def main(seed: int = 0):
 
 
 if __name__ == "__main__":
-    main(int(sys.argv[1]) if len(sys.argv) > 1 else 0)
+    argv = list(sys.argv[1:])
+    obj_faces = 0
+    if "--obj_faces" in argv:
+        i = argv.index("--obj_faces")
+        obj_faces = int(argv[i + 1])
+        del argv[i:i + 2]
+    main(int(argv[0]) if argv else 0, obj_faces=obj_faces)

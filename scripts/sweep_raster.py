@@ -25,6 +25,11 @@ def main():
              "(the bench's realistic-object workload)",
     )
     ap.add_argument(
+        "--cull", action="store_true",
+        help="enable backface culling (the warp step's default), so the "
+             "sweep sees the production chunk occupancy",
+    )
+    ap.add_argument(
         "--configs", nargs="*", default=None,
         help="fc,rb,xb[,bc] tuples, e.g. 32,8,256 32,8,128,4 "
              "(bc = BAND_CHUNKS, 0 = single-level culling)",
@@ -82,7 +87,8 @@ def main():
         @jax.jit
         def fwd(vp, vz, attrs):
             o = R.soft_rasterize(
-                vp, vz, faces, attrs, image_size=(res, res), backend="pallas"
+                vp, vz, faces, attrs, image_size=(res, res),
+                backend="pallas", backface_cull=args.cull,
             )
             return o.sil.sum() + o.attr.sum() + o.vis.sum()
 
