@@ -12,9 +12,52 @@ pipeline on Google Grain (prefetch + worker processes) when available.
 
 from __future__ import annotations
 
+import contextlib
+import os
 from typing import Iterator, Optional
 
 import numpy as np
+
+# Env vars that make an interpreter register a TPU PJRT plugin at startup
+# (e.g. a sitecustomize-driven tunnel). Data workers must never inherit
+# them — see _data_worker_env. Override with HOCON_WORKER_STRIP_ENV
+# (comma-separated) if the deployment uses different hook variables.
+_WORKER_STRIP_ENV = tuple(
+    v
+    for v in os.environ.get(
+        "HOCON_WORKER_STRIP_ENV", "PALLAS_AXON_POOL_IPS"
+    ).split(",")
+    if v
+)
+
+
+@contextlib.contextmanager
+def _data_worker_env():
+    """Pin data-loader worker processes to CPU-only JAX.
+
+    Grain workers run the dataset ``__getitem__`` (decode/crop/augment) —
+    pure host work. Importing ``hocon`` inside a worker imports jax, and a
+    worker that inherits the parent's accelerator env would (a) race the
+    training process for the device (single-chip TPU access is exclusive)
+    and (b) hang at interpreter start whenever a sitecustomize-registered
+    PJRT plugin's control plane is unreachable (observed: registration
+    retries in a sleep loop). Children snapshot ``os.environ`` at spawn,
+    so setting it around worker startup is sufficient; the parent's
+    already-latched jax config is unaffected and the env is restored.
+    """
+    keys = ("JAX_PLATFORMS", *_WORKER_STRIP_ENV)
+    saved = {k: os.environ.get(k) for k in keys}
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    for k in _WORKER_STRIP_ENV:
+        os.environ.pop(k, None)
+    try:
+        yield
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                os.environ.pop(k, None)
+            else:
+                os.environ[k] = v
 
 try:
     import jax
@@ -175,9 +218,32 @@ def grain_loader(
         num_epochs=num_epochs,
         seed=seed,
     )
-    return grain.DataLoader(
+    loader = grain.DataLoader(
         data_source=_Source(),
         sampler=sampler,
         operations=[grain.Batch(batch_size // shard_count, drop_remainder=True)],
         worker_count=worker_count,
     )
+    return _WorkerEnvLoader(loader) if worker_count else loader
+
+
+class _WorkerEnvLoader:
+    """Iterates a Grain DataLoader with worker spawn under _data_worker_env.
+
+    Grain spawns its worker processes when iteration starts (iter() or the
+    first pull, version-dependent); both are covered by holding the env
+    context through the first batch.
+    """
+
+    def __init__(self, loader):
+        self._loader = loader
+
+    def __iter__(self):
+        with _data_worker_env():
+            it = iter(self._loader)
+            try:
+                first = next(it)
+            except StopIteration:
+                return
+        yield first
+        yield from it

@@ -12,6 +12,12 @@ import os
 # jax before this conftest runs, and jax snapshots JAX_PLATFORMS at import.
 # config.update after import is the reliable override.
 os.environ["JAX_PLATFORMS"] = "cpu"
+# Child processes (grain workers, subprocess-based tests) must not register
+# a TPU PJRT plugin at interpreter start: registration hangs in a retry
+# loop whenever the tunnel's control plane is down, and CPU tests never
+# need the device. This mutation only affects children — the test process
+# itself latched its env before conftest ran (see NOTE above).
+os.environ.pop("PALLAS_AXON_POOL_IPS", None)
 
 import jax  # noqa: E402
 
