@@ -61,6 +61,8 @@ def main():
     obj_faces = 0
     if "--obj_faces" in sys.argv:
         obj_faces = int(sys.argv[sys.argv.index("--obj_faces") + 1])
+    # `--stem_s2d`: space-to-depth ResNet stem A/B (backbone.stem_s2d).
+    stem_s2d = "--stem_s2d" in sys.argv
 
     mano = synthetic_mano_model(0)
     t0 = time.perf_counter()
@@ -75,7 +77,8 @@ def main():
     log(f"data setup: {time.perf_counter() - t0:.1f}s")
 
     mesh = make_mesh()
-    model = HOCNet(with_object=True, freeze_batchnorm=True, dtype=jnp.bfloat16)
+    model = HOCNet(with_object=True, freeze_batchnorm=True,
+                   dtype=jnp.bfloat16, stem_s2d=stem_s2d)
     optimizer = make_optimizer("adam", 1e-4)
     state = create_train_state(
         model, mano, optimizer, batch["ref"], jax.random.PRNGKey(0)

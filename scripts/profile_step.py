@@ -57,6 +57,8 @@ def main():
     p.add_argument("--res", type=int, default=256)
     p.add_argument("--batch", type=int, default=16)
     p.add_argument("--steps", type=int, default=30)
+    p.add_argument("--stem_s2d", action="store_true",
+                   help="A/B the space-to-depth ResNet stem")
     args = p.parse_args()
 
     from hocon.utils.compile_cache import enable_compile_cache
@@ -90,7 +92,8 @@ def main():
     # every step would swamp every measurement.
     batch = jax.device_put(next(iter(loader)))
 
-    model = HOCNet(with_object=True, freeze_batchnorm=True, dtype=jnp.bfloat16)
+    model = HOCNet(with_object=True, freeze_batchnorm=True,
+                   dtype=jnp.bfloat16, stem_s2d=args.stem_s2d)
     optimizer = make_optimizer("adam", 1e-4)
     state = create_train_state(
         model, mano, optimizer, batch["ref"], jax.random.PRNGKey(0)
@@ -113,7 +116,7 @@ def main():
     # The warp step runs the trunk on 2*b images (ref + tgt jointly).
     from hocon.models.backbone import resnet18
 
-    trunk = resnet18(dtype=jnp.bfloat16)
+    trunk = resnet18(dtype=jnp.bfloat16, stem_s2d=args.stem_s2d)
     imgs = jnp.asarray(
         np.random.default_rng(1).uniform(-2, 2, (2 * b, res, res, 3)),
         jnp.float32,
