@@ -56,7 +56,11 @@ def build_model(args, mano):
     )
 
 
-_IMPORT_STAGE_SIZES = {"resnet18": (2, 2, 2, 2), "resnet34": (3, 4, 6, 3)}
+_IMPORT_STAGE_SIZES = {
+    "resnet18": (2, 2, 2, 2),
+    "resnet34": (3, 4, 6, 3),
+    "resnet50": (3, 4, 6, 3),
+}
 
 
 def apply_torch_init(args, model, state):
@@ -76,7 +80,7 @@ def apply_torch_init(args, model, state):
         raise ValueError("--torch_trunk and --torch_ckpt are exclusive")
     if args.backbone not in _IMPORT_STAGE_SIZES:
         raise ValueError(
-            f"torch import supports BasicBlock backbones "
+            f"torch import supports backbones "
             f"{sorted(_IMPORT_STAGE_SIZES)}, not {args.backbone!r}"
         )
     from hocon.utils.torch_import import (

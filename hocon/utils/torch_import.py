@@ -9,8 +9,10 @@ tensors with ``.numpy()``).
 
 Key layout handled: torchvision ResNet naming
   conv1.weight, bn1.{weight,bias,running_mean,running_var},
-  layer{L}.{B}.conv{1,2}.weight, layer{L}.{B}.bn{1,2}.*,
+  layer{L}.{B}.conv{1,2[,3]}.weight, layer{L}.{B}.bn{1,2[,3]}.*,
   layer{L}.{B}.downsample.{0,1}.*
+(2 convs/block for BasicBlock trunks — resnet18/34; 3 for Bottleneck —
+resnet50; the block type is detected from the Flax param tree)
 optionally under a prefix (the reference wraps its trunk, e.g.
 ``base_net.`` — pass ``prefix`` accordingly).
 """
@@ -71,17 +73,26 @@ def import_resnet_trunk(
     params["conv_init"]["kernel"] = stem
     set_bn(params["bn_init"], batch_stats["bn_init"], "bn1")
 
+    # Flax auto-names block submodules after their class: BasicBlock_<i>
+    # (resnet18/34, 2 convs) or Bottleneck_<i> (resnet50, 3 convs).
+    bottleneck = any(k.startswith("Bottleneck_") for k in params)
+    block_cls = "Bottleneck" if bottleneck else "BasicBlock"
+    n_convs = 3 if bottleneck else 2
     block_idx = 0
     for stage, n_blocks in enumerate(stage_sizes):
         for b in range(n_blocks):
-            name = f"BasicBlock_{block_idx}"
+            name = f"{block_cls}_{block_idx}"
             tname = f"layer{stage + 1}.{b}"
             bp = params[name]
             bs = batch_stats[name]
-            bp["Conv_0"]["kernel"] = _conv_kernel(src(f"{tname}.conv1.weight"))
-            bp["Conv_1"]["kernel"] = _conv_kernel(src(f"{tname}.conv2.weight"))
-            set_bn(bp["BatchNorm_0"], bs["BatchNorm_0"], f"{tname}.bn1")
-            set_bn(bp["BatchNorm_1"], bs["BatchNorm_1"], f"{tname}.bn2")
+            for ci in range(n_convs):
+                bp[f"Conv_{ci}"]["kernel"] = _conv_kernel(
+                    src(f"{tname}.conv{ci + 1}.weight")
+                )
+                set_bn(
+                    bp[f"BatchNorm_{ci}"], bs[f"BatchNorm_{ci}"],
+                    f"{tname}.bn{ci + 1}",
+                )
             if "conv_proj" in bp:
                 bp["conv_proj"]["kernel"] = _conv_kernel(
                     src(f"{tname}.downsample.0.weight")

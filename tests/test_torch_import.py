@@ -93,6 +93,92 @@ def test_trunk_matches_torch_reference():
     np.testing.assert_allclose(np.asarray(feats), want, atol=2e-4)
 
 
+class _TorchBottleneck(tnn.Module):
+    def __init__(self, cin, width, stride):
+        super().__init__()
+        cout = width * 4
+        self.conv1 = tnn.Conv2d(cin, width, 1, 1, 0, bias=False)
+        self.bn1 = tnn.BatchNorm2d(width)
+        self.conv2 = tnn.Conv2d(width, width, 3, stride, 1, bias=False)
+        self.bn2 = tnn.BatchNorm2d(width)
+        self.conv3 = tnn.Conv2d(width, cout, 1, 1, 0, bias=False)
+        self.bn3 = tnn.BatchNorm2d(cout)
+        self.downsample = None
+        if stride != 1 or cin != cout:
+            self.downsample = tnn.Sequential(
+                tnn.Conv2d(cin, cout, 1, stride, bias=False),
+                tnn.BatchNorm2d(cout),
+            )
+
+    def forward(self, x):
+        idt = x if self.downsample is None else self.downsample(x)
+        y = torch.relu(self.bn1(self.conv1(x)))
+        y = torch.relu(self.bn2(self.conv2(y)))
+        y = self.bn3(self.conv3(y))
+        return torch.relu(idt + y)
+
+
+class _TorchResNet50(tnn.Module):
+    """torchvision-named ResNet-50 feature extractor."""
+
+    def __init__(self):
+        super().__init__()
+        self.conv1 = tnn.Conv2d(3, 64, 7, 2, 3, bias=False)
+        self.bn1 = tnn.BatchNorm2d(64)
+        self.maxpool = tnn.MaxPool2d(3, 2, 1)
+        widths = [64, 128, 256, 512]
+        sizes = [3, 4, 6, 3]
+        cin = 64
+        for li, (w, n) in enumerate(zip(widths, sizes)):
+            stride = 1 if li == 0 else 2
+            blocks = []
+            for b in range(n):
+                blocks.append(
+                    _TorchBottleneck(cin, w, stride if b == 0 else 1)
+                )
+                cin = w * 4
+            setattr(self, f"layer{li + 1}", tnn.Sequential(*blocks))
+
+    def forward(self, x):
+        x = torch.relu(self.bn1(self.conv1(x)))
+        x = self.maxpool(x)
+        for li in range(4):
+            x = getattr(self, f"layer{li + 1}")(x)
+        return x.mean(dim=(2, 3))
+
+
+def test_resnet50_trunk_matches_torch_reference():
+    """Bottleneck (resnet50) import parity — block type auto-detected from
+    the Flax param tree (torch_import.py)."""
+    from hocon.models.backbone import resnet50
+
+    tmodel = _TorchResNet50().eval()
+    with torch.no_grad():
+        for m in tmodel.modules():
+            if isinstance(m, tnn.BatchNorm2d):
+                m.running_mean.normal_(0, 0.05)
+                m.running_var.uniform_(0.5, 1.5)
+                m.weight.normal_(1.0, 0.05)
+                m.bias.normal_(0, 0.05)
+    state_dict = {k: v.numpy() for k, v in tmodel.state_dict().items()}
+
+    model = resnet50(freeze_batchnorm=True)
+    x = np.random.default_rng(1).standard_normal((2, 64, 64, 3)).astype(
+        np.float32
+    )
+    variables = model.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    params, stats = import_resnet_trunk(
+        state_dict, variables["params"], variables["batch_stats"],
+        stage_sizes=(3, 4, 6, 3),
+    )
+    feats = model.apply(
+        {"params": params, "batch_stats": stats}, jnp.asarray(x)
+    )
+    with torch.no_grad():
+        want = tmodel(torch.from_numpy(x).permute(0, 3, 1, 2)).numpy()
+    np.testing.assert_allclose(np.asarray(feats), want, atol=5e-4)
+
+
 def test_import_missing_key_raises():
     model = resnet18()
     variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))
