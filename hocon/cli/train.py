@@ -20,6 +20,7 @@ from hocon.cli import opts
 from hocon.data.factory import get_dataset
 from hocon.data.pipeline import BatchLoader
 from hocon.exp.args import save_args
+from hocon.models.backbone import STAGE_SIZES as _IMPORT_STAGE_SIZES
 from hocon.models.hocnet import HOCNet
 from hocon.train.checkpoints import CheckpointManager, restore_for_warm_start
 from hocon.train.loop import epoch_pass
@@ -54,13 +55,6 @@ def build_model(args, mano):
         dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
         stem_s2d=getattr(args, "stem_s2d", False),
     )
-
-
-_IMPORT_STAGE_SIZES = {
-    "resnet18": (2, 2, 2, 2),
-    "resnet34": (3, 4, 6, 3),
-    "resnet50": (3, 4, 6, 3),
-}
 
 
 def apply_torch_init(args, model, state):

@@ -97,7 +97,13 @@ def check_dataset(hand_ds, name: str = "train", max_seqs: int = 0,
             desc += f", verts {v.shape}"
         if ov is not None:
             ov = np.asarray(ov)
-            desc += f", obj {ov.shape[0]}v/{len(raw['obj_faces'])}f"
+            of = raw.get("obj_faces")
+            # obj_faces can be None (e.g. a YCB model dir with only a point
+            # cloud) — report it as an anomaly, don't crash the diagnostic.
+            desc += f", obj {ov.shape[0]}v/{len(of) if of is not None else 0}f"
+            if of is None:
+                problems.append("object has vertices but no faces "
+                                "(mesh file missing? point-cloud fallback)")
             pose = np.asarray(raw["obj_pose"], np.float64)
             if not np.isfinite(pose).all():
                 problems.append("non-finite obj_pose")

@@ -228,11 +228,14 @@ def grain_loader(
 
 
 class _WorkerEnvLoader:
-    """Iterates a Grain DataLoader with worker spawn under _data_worker_env.
+    """Iterates a Grain DataLoader with worker spawns under _data_worker_env.
 
-    Grain spawns its worker processes when iteration starts (iter() or the
-    first pull, version-dependent); both are covered by holding the env
-    context through the first batch.
+    Grain spawns worker processes when iteration starts and may respawn
+    them later (crash recovery; timing is version-dependent), so the env
+    context is held for the LIFETIME of the iteration, not just the first
+    pull. The mutation only matters to newly spawned children — the parent
+    process latched its jax config long before — and is restored when the
+    iterator is exhausted or closed (process exit otherwise).
     """
 
     def __init__(self, loader):
@@ -240,10 +243,4 @@ class _WorkerEnvLoader:
 
     def __iter__(self):
         with _data_worker_env():
-            it = iter(self._loader)
-            try:
-                first = next(it)
-            except StopIteration:
-                return
-        yield first
-        yield from it
+            yield from self._loader

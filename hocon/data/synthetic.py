@@ -159,11 +159,7 @@ class SyntheticHandDataset:
         cached = self._cache_load(n_videos, seed)
         if cached is not None:
             self.verts, self.joints, self.images = cached
-            wrist = self.joints[:, 0]
-            self.obj_pose = np.tile(np.eye(4, dtype=np.float32), (n, 1, 1))
-            self.obj_pose[:, :3, 3] = wrist + np.array(
-                [0.0, 0.04, 0.02], np.float32
-            )
+            self._set_obj_pose(n)
         else:
             verts, joints = mano_forward(
                 self.mano, jnp.asarray(pose), jnp.asarray(betas),
@@ -171,11 +167,7 @@ class SyntheticHandDataset:
             )
             self.verts = np.asarray(verts)
             self.joints = np.asarray(joints)
-            wrist = self.joints[:, 0]
-            self.obj_pose = np.tile(np.eye(4, dtype=np.float32), (n, 1, 1))
-            self.obj_pose[:, :3, 3] = wrist + np.array(
-                [0.0, 0.04, 0.02], np.float32
-            )
+            self._set_obj_pose(n)
 
             # Render all frames once (hand + object, vertex-colored).
             all_v = self.verts
@@ -257,6 +249,16 @@ class SyntheticHandDataset:
             "HOCON_CACHE_DIR", os.path.expanduser("~/.cache/hocon")
         )
         return os.path.join(cache_dir, f"synth-{h.hexdigest()[:16]}.npz")
+
+    def _set_obj_pose(self, n: int) -> None:
+        """Object 6-DoF per frame: identity rotation, translation following
+        the wrist at a fixed offset (single-sourced for both the cache-hit
+        and render paths of __init__)."""
+        wrist = self.joints[:, 0]
+        self.obj_pose = np.tile(np.eye(4, dtype=np.float32), (n, 1, 1))
+        self.obj_pose[:, :3, 3] = wrist + np.array(
+            [0.0, 0.04, 0.02], np.float32
+        )
 
     def _cache_load(self, n_videos: int, seed: int):
         path = self._cache_path(n_videos, seed)

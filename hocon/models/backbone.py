@@ -31,6 +31,11 @@ def space_to_depth(x: jnp.ndarray, factor: int = 2) -> jnp.ndarray:
     """
     b, h, w, c = x.shape
     f = factor
+    if h % f or w % f:
+        raise ValueError(
+            f"stem_s2d requires input H/W divisible by {f}, got {(h, w)} — "
+            f"use the standard 7x7/2 stem for odd image sizes"
+        )
     x = x.reshape(b, h // f, f, w // f, f, c)
     x = x.transpose(0, 1, 3, 2, 4, 5)
     return x.reshape(b, h // f, w // f, f * f * c)
@@ -168,13 +173,22 @@ class ResNet(nn.Module):
         return pooled
 
 
+# Single source of truth for per-variant stage sizes (the torch importer
+# walks torchvision's layer{1..4}.{b} names with these counts).
+STAGE_SIZES = {
+    "resnet18": (2, 2, 2, 2),
+    "resnet34": (3, 4, 6, 3),
+    "resnet50": (3, 4, 6, 3),
+}
+
+
 def resnet18(**kw) -> ResNet:
-    return ResNet(stage_sizes=(2, 2, 2, 2), block=BasicBlock, **kw)
+    return ResNet(stage_sizes=STAGE_SIZES["resnet18"], block=BasicBlock, **kw)
 
 
 def resnet34(**kw) -> ResNet:
-    return ResNet(stage_sizes=(3, 4, 6, 3), block=BasicBlock, **kw)
+    return ResNet(stage_sizes=STAGE_SIZES["resnet34"], block=BasicBlock, **kw)
 
 
 def resnet50(**kw) -> ResNet:
-    return ResNet(stage_sizes=(3, 4, 6, 3), block=Bottleneck, **kw)
+    return ResNet(stage_sizes=STAGE_SIZES["resnet50"], block=Bottleneck, **kw)

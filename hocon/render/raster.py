@@ -144,8 +144,15 @@ def face_valid(fv: jnp.ndarray, backface_cull: bool = False) -> jnp.ndarray:
     det = face_det2d(fv)
     valid = jnp.abs(det) > _AREA_EPS
     if backface_cull:
-        margin = BACKFACE_MARGIN_FRAC * jnp.mean(
-            jnp.abs(det), axis=-1, keepdims=True
+        # mean|det| over NON-degenerate faces only: padded object-face
+        # slots (det=0, a buffer-sizing artifact) must not dilute the
+        # margin, or the effective margin would scale with the padding
+        # fraction instead of staying at the calibrated value.
+        absdet = jnp.abs(det)
+        n_valid = jnp.maximum(jnp.sum(valid, axis=-1, keepdims=True), 1)
+        margin = BACKFACE_MARGIN_FRAC * (
+            jnp.sum(jnp.where(valid, absdet, 0.0), axis=-1, keepdims=True)
+            / n_valid
         )
         valid = jnp.logical_and(valid, det < margin)
     return valid
