@@ -38,22 +38,50 @@ STEPS_WARP = 300
 VIDEOS, FRAMES = 8, 8
 
 
-def main(seed: int = 0, obj_faces: int = 0):
+# Model + jitted step functions are SEED-INDEPENDENT (seeds only change
+# data/init values, not shapes or code), so multi-seed runs share one
+# engine — over the tunnel that turns N seeds' compile cost into one.
+_ENGINE = {}
+
+
+def _engine(with_object: bool):
     import jax.numpy as jnp
 
+    from hocon.geometry.mano import synthetic_mano_model
+    from hocon.models.hocnet import HOCNet
+    from hocon.train.state import make_optimizer
+    from hocon.train.steps import (
+        make_eval_step,
+        make_train_step,
+        make_warp_train_step,
+    )
+
+    if with_object not in _ENGINE:
+        mano = synthetic_mano_model(0)
+        model = HOCNet(with_object=with_object, freeze_batchnorm=True,
+                       dtype=jnp.bfloat16)
+        optimizer = make_optimizer("adam", 2e-4)
+        _ENGINE[with_object] = dict(
+            mano=mano, model=model, optimizer=optimizer,
+            step_base=make_train_step(model, mano, optimizer),
+            step_warp=make_warp_train_step(
+                model, mano, optimizer, image_size=(RES, RES),
+                lambda_consist=2.0, consist_gt_refs=True, backend="auto",
+            ),
+            eval_step=make_eval_step(model, mano),
+        )
+    return _ENGINE[with_object]
+
+
+def main(seed: int = 0, obj_faces: int = 0):
     from hocon.data.factory import get_dataset
     from hocon.data.pipeline import BatchLoader
     from hocon.evaluation.zimeval import EvalUtil
-    from hocon.geometry.mano import synthetic_mano_model
-    from hocon.models.hocnet import HOCNet
-    from hocon.train.state import create_train_state, make_optimizer
-    from hocon.train.steps import make_eval_step, make_train_step, make_warp_train_step
+    from hocon.train.state import create_train_state
 
     with_object = obj_faces > 0
-    mano = synthetic_mano_model(0)
-    model = HOCNet(with_object=with_object, freeze_batchnorm=True,
-                   dtype=jnp.bfloat16)
-    optimizer = make_optimizer("adam", 2e-4)
+    eng = _engine(with_object)
+    mano, model, optimizer = eng["mano"], eng["model"], eng["optimizer"]
 
     common = dict(
         image_size=RES, use_objects=with_object, mano=mano,
@@ -91,7 +119,7 @@ def main(seed: int = 0, obj_faces: int = 0):
         return state
 
     def evaluate(state, tag):
-        eval_step = make_eval_step(model, mano)
+        eval_step = eng["eval_step"]
         ev_all, ev_unsup = EvalUtil(), EvalUtil()
         sup_flags = np.asarray(ds_eval.pose_dataset.supervised)
         # Note: supervised flags from the TRAIN dataset (same frames).
@@ -115,7 +143,7 @@ def main(seed: int = 0, obj_faces: int = 0):
     state = create_train_state(model, mano, optimizer, sample,
                                jax.random.PRNGKey(seed),
                                with_object=with_object)
-    step_base = make_train_step(model, mano, optimizer)
+    step_base = eng["step_base"]
     state = train(state, loader_single, step_base, STEPS_BASE, "baseline")
     base_all, base_unsup = evaluate(state, "baseline")
 
@@ -131,10 +159,7 @@ def main(seed: int = 0, obj_faces: int = 0):
         params=copy(state.params), batch_stats=copy(state.batch_stats),
         opt_state=warp_state.opt_state, step=warp_state.step,
     )
-    step_warp = make_warp_train_step(
-        model, mano, optimizer, image_size=(RES, RES),
-        lambda_consist=2.0, consist_gt_refs=True, backend="auto",
-    )
+    step_warp = eng["step_warp"]
     warp_state = train(warp_state, loader_pair, step_warp, STEPS_WARP, "warp")
     warp_all, warp_unsup = evaluate(warp_state, "warp")
 
@@ -162,4 +187,9 @@ if __name__ == "__main__":
         i = argv.index("--obj_faces")
         obj_faces = int(argv[i + 1])
         del argv[i:i + 2]
-    main(int(argv[0]) if argv else 0, obj_faces=obj_faces)
+    # Multiple seeds run in ONE process: the train/eval step shapes are
+    # seed-independent, so seeds 2..N reuse seed 1's jit cache — over the
+    # tunnel that turns ~3x compile cost into ~1x.
+    seeds = [int(s) for s in argv] or [0]
+    for seed in seeds:
+        main(seed, obj_faces=obj_faces)

@@ -44,5 +44,5 @@ run profile         1800 python scripts/profile_step.py
 run profile-s2d     1800 python scripts/profile_step.py --stem_s2d
 run sweep-banded    2400 python scripts/sweep_raster.py --obj_faces 1280 --cull \
     --configs 32,8,256,0 32,8,256,2 32,8,256,4 32,8,128,4 16,8,256,4 64,8,256,2
-run consist-real-s0 3600 python scripts/repro_synthetic_consistency.py 0 --obj_faces 1280
+run consist-real    5400 python scripts/repro_synthetic_consistency.py 0 1 2 --obj_faces 1280
 echo "=== tpu_batch done $(date)" | tee -a "$LOG"
