@@ -116,6 +116,10 @@ def add_data_opts(p: argparse.ArgumentParser):
                         "for the rasterizer)")
     g.add_argument("--synth_videos", type=int, default=8)
     g.add_argument("--synth_frames", type=int, default=8)
+    g.add_argument("--uint8_images", action="store_true",
+                   help="loaders emit uint8 crops; ImageNet normalization "
+                        "runs on-device (4x less host->device transfer; "
+                        "<=0.5/255 crop quantization noise)")
     g.add_argument("--check_data", action="store_true",
                    help="parse the dataset tree, pull one sample per "
                         "sequence through the full pipeline, print shapes/"

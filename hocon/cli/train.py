@@ -144,6 +144,7 @@ def setup_common(args):
         center_idx=args.center_idx,
         synth_videos=args.synth_videos, synth_frames=args.synth_frames,
         decimate_objects_to=getattr(args, "decimate_objects_to", 0),
+        uint8_images=getattr(args, "uint8_images", False),
     )
     if getattr(args, "pair_mode", False) and getattr(args, "consist_gt_refs", False):
         from hocon.data.queries import BaseQueries
@@ -166,6 +167,7 @@ def setup_common(args):
         center_idx=args.center_idx,
         synth_videos=max(2, args.synth_videos // 4), synth_frames=args.synth_frames,
         decimate_objects_to=getattr(args, "decimate_objects_to", 0),
+        uint8_images=getattr(args, "uint8_images", False),
     )
     if getattr(args, "check_data", False):
         from hocon.data.check import check_dataset

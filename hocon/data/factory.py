@@ -33,6 +33,7 @@ def get_dataset(
     synth_frames: int = 8,
     synth_obj_faces: int = 0,
     decimate_objects_to: int = 0,
+    uint8_images: bool = False,
 ) -> HandDataset:
     if name in ("fhbhands", "fphab", "ho3dv2", "ho3d") and use_objects:
         # Raw FPHAB PLY / YCB OBJ meshes exceed the rasterizer's padded
@@ -92,5 +93,6 @@ def get_dataset(
         train=train,
         max_obj_verts=max_obj_verts,
         max_obj_faces=max_obj_faces,
+        uint8_images=uint8_images,
     )
     return HandDataset(pose_ds, cfg, seed=seed)

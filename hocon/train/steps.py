@@ -49,19 +49,32 @@ def _gt_from_batch(batch: dict) -> dict:
     return gt
 
 
+def _device_images(img: jnp.ndarray) -> jnp.ndarray:
+    """Accept uint8 crops (the loaders' device-side normalization path,
+    ``HandDatasetConfig.uint8_images`` — 4x less host->device transfer) or
+    already ImageNet-normalized float; returns normalized f32. The dtype
+    test is static under jit (one branch is traced), and the convert +
+    affine fuses into the consumer."""
+    if img.dtype == jnp.uint8:
+        img = img.astype(jnp.float32) / 255.0
+        return (img - jnp.asarray(IMAGENET_MEAN)) / jnp.asarray(IMAGENET_STD)
+    return img
+
+
 def _apply_model(model, params, batch_stats, batch, mano, train: bool):
     variables = {"params": params}
     if batch_stats:
         variables["batch_stats"] = batch_stats
     obj = batch.get("obj_verts_can")
+    images = _device_images(batch["image"])
     if train and not model.freeze_batchnorm and batch_stats:
         out, new_state = model.apply(
-            variables, batch["image"], batch["camintr"], mano, obj,
+            variables, images, batch["camintr"], mano, obj,
             train=True, mutable=["batch_stats"],
         )
         return out, new_state["batch_stats"]
     out = model.apply(
-        variables, batch["image"], batch["camintr"], mano, obj, train=train
+        variables, images, batch["camintr"], mano, obj, train=train
     )
     return out, batch_stats
 
@@ -157,7 +170,12 @@ def make_warp_train_step(
     """
 
     def loss_fn(params, batch_stats, batch):
-        ref, tgt = batch["ref"], batch["tgt"]
+        ref, tgt = dict(batch["ref"]), dict(batch["tgt"])
+        # Normalize once at entry so the trunk pass AND the photometric
+        # target/_unnormalize math below see the same f32 images under
+        # both loader paths (f32 or uint8 device-side normalization).
+        ref["image"] = _device_images(ref["image"])
+        tgt["image"] = _device_images(tgt["image"])
         b = ref["image"].shape[0]
         # k-frame clips: targets arrive stacked as (B, K-1, ...) — flatten
         # them into the batch dim (still pure DP, SURVEY.md §5.7).

@@ -26,6 +26,8 @@ _BONES = [
 
 
 def _unnormalize(img: np.ndarray) -> np.ndarray:
+    if img.dtype == np.uint8:  # uint8_images loader path: raw RGB crops
+        return img.astype(np.float32) / 255.0
     return np.clip(img * IMAGENET_STD + IMAGENET_MEAN, 0, 1)
 
 

@@ -16,7 +16,10 @@ from hocon.visualize.samplevis import sample_vis
 
 
 def _unnorm(img):
-    return np.clip(np.asarray(img) * IMAGENET_STD + IMAGENET_MEAN, 0, 1)
+    img = np.asarray(img)
+    if img.dtype == np.uint8:  # uint8_images loader path: raw RGB crops
+        return img.astype(np.float32) / 255.0
+    return np.clip(img * IMAGENET_STD + IMAGENET_MEAN, 0, 1)
 
 
 def save_warp_panels(
@@ -42,10 +45,7 @@ def save_warp_panels(
     )
     verts_tgt, faces = _combined_mesh(out_tgt, tgt, mano, use_gt_hand=False)
     verts_ref, _ = _combined_mesh(out_ref, ref, mano, use_gt_hand=consist_gt_refs)
-    ref_img01 = jnp.clip(
-        jnp.asarray(ref["image"]) * jnp.asarray(IMAGENET_STD)
-        + jnp.asarray(IMAGENET_MEAN), 0, 1,
-    )
+    ref_img01 = jnp.asarray(_unnorm(ref["image"]), jnp.float32)
     warp_out = render_warp(
         verts_tgt, verts_ref, faces, tgt["camintr"], ref["camintr"],
         ref_img01, image_size=image_size, backend=backend,

@@ -385,3 +385,61 @@ def test_synthetic_realistic_object_pipeline():
     batch = next(iter(loader))
     assert batch[TransQueries.OBJVERTS3D.value].shape[1] == len(v)
     assert batch["obj_faces"].shape[1] == len(f)
+
+
+def test_uint8_images_device_normalization(synth):
+    """uint8_images loaders + on-device normalization reproduce the f32
+    host-normalized path up to crop quantization (<= 0.5/255 pre-norm),
+    with all labels identical (steps._device_images)."""
+    import jax.numpy as jnp
+
+    from hocon.data.augment import IMAGENET_STD
+    from hocon.train.steps import _device_images
+
+    cfg = dict(image_size=64, train=False)
+    ds8 = HandDataset(synth, HandDatasetConfig(uint8_images=True, **cfg))
+    dsf = HandDataset(synth, HandDatasetConfig(**cfg))
+    s8, sf = ds8[0], dsf[0]
+    img8 = s8[TransQueries.IMAGE.value]
+    assert img8.dtype == np.uint8
+    dev = np.asarray(_device_images(jnp.asarray(img8)))
+    atol = (0.5 / 255.0) / float(np.min(IMAGENET_STD)) + 1e-5
+    np.testing.assert_allclose(dev, sf[TransQueries.IMAGE.value], atol=atol)
+    # f32 images pass through _device_images untouched.
+    ff = jnp.asarray(sf[TransQueries.IMAGE.value])
+    assert _device_images(ff) is ff
+    # Labels are unaffected by the image dtype.
+    for k in (TransQueries.JOINTS3D.value, TransQueries.JOINTS2D.value,
+              TransQueries.CAMINTR.value):
+        np.testing.assert_array_equal(s8[k], sf[k])
+
+
+def test_uint8_images_warp_step_runs(synth):
+    """The full warp train step accepts a uint8 pair batch (trunk input and
+    photometric target both normalized on device at loss entry)."""
+    import jax
+    import jax.numpy as jnp
+
+    from hocon.models.hocnet import HOCNet
+    from hocon.train.state import create_train_state, make_optimizer
+    from hocon.train.steps import make_warp_train_step
+
+    ds = HandDataset(
+        synth,
+        HandDatasetConfig(image_size=64, pair_mode=True, train=True,
+                          uint8_images=True),
+    )
+    loader = BatchLoader(ds, batch_size=4, seed=0)
+    batch = next(iter(loader))
+    assert batch["ref"][TransQueries.IMAGE.value].dtype == np.uint8
+    mano = synth.mano
+    model = HOCNet(with_object=False, freeze_batchnorm=True)
+    optimizer = make_optimizer("adam", 1e-4)
+    state = create_train_state(
+        model, mano, optimizer, batch["ref"], jax.random.PRNGKey(0),
+        with_object=False,
+    )
+    step = make_warp_train_step(model, mano, optimizer, image_size=(64, 64))
+    state, terms = step(state, batch)
+    assert np.isfinite(float(terms["loss_total"]))
+    assert float(terms["photo_total"]) > 0.0
