@@ -48,6 +48,7 @@ def main(argv=None):
         use_objects=args.use_objects, train=False, mano=mano, seed=args.seed,
         synth_videos=args.synth_videos, synth_frames=args.synth_frames,
         decimate_objects_to=getattr(args, "decimate_objects_to", 0),
+        uint8_images=getattr(args, "uint8_images", False),
     )
     if getattr(args, "check_data", False):
         from hocon.data.check import check_dataset
