@@ -36,6 +36,10 @@ def add_exp_opts(p: argparse.ArgumentParser):
     g.add_argument("--workers", type=int, default=0,
                    help="grain worker processes for train data loading "
                         "(0 = in-process)")
+    g.add_argument("--prefetch", type=int, default=2,
+                   help="batches assembled ahead by a background thread "
+                        "when --workers 0 (overlaps host data prep with "
+                        "the device step; 0 = synchronous)")
     g.add_argument("--profile", action="store_true",
                    help="emit a jax.profiler trace for the first steps")
     g.add_argument("--vis_freq", type=int, default=0,

@@ -191,6 +191,7 @@ def setup_common(args):
         train_loader = BatchLoader(
             train_ds, args.batch_size, seed=args.seed,
             shard_index=jax.process_index(), shard_count=jax.process_count(),
+            prefetch=getattr(args, "prefetch", 0),
         )
     val_loader = BatchLoader(
         val_ds, args.batch_size, shuffle=False,

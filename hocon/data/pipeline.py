@@ -69,6 +69,42 @@ except Exception:  # pragma: no cover
     _TREE_STACK = None
 
 
+class _Prefetcher:
+    """Iterator wrapper that assembles up to ``depth`` items ahead in a
+    background thread. Device dispatch is async in JAX, so while the chip
+    executes step N the thread builds batch N+1 (numpy work releases the
+    GIL in practice); exceptions propagate to the consumer."""
+
+    _DONE = object()
+
+    def __init__(self, make_iter, depth: int):
+        import queue
+        import threading
+
+        self._q = queue.Queue(maxsize=depth)
+
+        def run():
+            try:
+                for item in make_iter():
+                    self._q.put(item)
+            except BaseException as e:  # propagate, don't hang the consumer
+                self._q.put(e)
+            else:
+                self._q.put(self._DONE)
+
+        self._t = threading.Thread(target=run, daemon=True)
+        self._t.start()
+
+    def __iter__(self):
+        while True:
+            item = self._q.get()
+            if item is self._DONE:
+                return
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+
+
 class BatchLoader:
     """Deterministic shuffling batch loader with per-host sharding.
 
@@ -76,6 +112,10 @@ class BatchLoader:
       dataset: indexable dataset returning (possibly nested) dict samples.
       batch_size: GLOBAL batch size; each host yields batch_size/shard_count.
       shard_index / shard_count: this host's shard (jax.process_index/count).
+      prefetch: assemble up to N batches ahead in a background thread
+        (0 = synchronous). Sample order and contents are identical either
+        way — prefetch only moves the host work off the consumer's critical
+        path.
     """
 
     def __init__(
@@ -87,6 +127,7 @@ class BatchLoader:
         drop_last: bool = True,
         shard_index: int = 0,
         shard_count: int = 1,
+        prefetch: int = 0,
     ):
         if batch_size % shard_count:
             raise ValueError("global batch size must divide by shard count")
@@ -98,6 +139,7 @@ class BatchLoader:
         self.drop_last = drop_last
         self.shard_index = shard_index
         self.shard_count = shard_count
+        self.prefetch = prefetch
 
     def epoch_indices(self, epoch: int) -> tuple[np.ndarray, np.ndarray]:
         """Returns (indices, valid) of shape (n_batches, local_batch);
@@ -127,6 +169,11 @@ class BatchLoader:
         return n
 
     def epoch(self, epoch: int = 0) -> Iterator[dict]:
+        if self.prefetch > 0:
+            return iter(_Prefetcher(lambda: self._epoch(epoch), self.prefetch))
+        return self._epoch(epoch)
+
+    def _epoch(self, epoch: int) -> Iterator[dict]:
         indices, valids = self.epoch_indices(epoch)
         for batch_idx, batch_valid in zip(indices, valids):
             samples = [self.dataset[int(i)] for i in batch_idx]

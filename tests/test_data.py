@@ -443,3 +443,27 @@ def test_uint8_images_warp_step_runs(synth):
     state, terms = step(state, batch)
     assert np.isfinite(float(terms["loss_total"]))
     assert float(terms["photo_total"]) > 0.0
+
+
+def test_batch_loader_prefetch_identical_and_propagates(synth):
+    """prefetch=N yields byte-identical batch sequences to the synchronous
+    path, and worker-thread exceptions reach the consumer."""
+    ds = HandDataset(synth, HandDatasetConfig(image_size=64, train=False))
+    sync = BatchLoader(ds, batch_size=4, seed=3)
+    pre = BatchLoader(ds, batch_size=4, seed=3, prefetch=2)
+    for b1, b2 in zip(sync.epoch(1), pre.epoch(1)):
+        assert sorted(b1) == sorted(b2)
+        for k in b1:
+            np.testing.assert_array_equal(np.asarray(b1[k]),
+                                          np.asarray(b2[k]))
+
+    class _Boom:
+        def __len__(self):
+            return 8
+
+        def __getitem__(self, i):
+            raise RuntimeError("boom")
+
+    bad = BatchLoader(_Boom(), batch_size=4, shuffle=False, prefetch=2)
+    with pytest.raises(RuntimeError, match="boom"):
+        next(iter(bad.epoch(0)))
