@@ -106,7 +106,8 @@ class StepTimer:
 
     def __init__(self, warmup: int = 2):
         self.warmup = warmup
-        self._t0 = None
+        self._t0 = None  # start of the post-warmup window
+        self._start = time.perf_counter()  # fallback for tiny epochs
         self._steps = 0
 
     def tick(self):
@@ -115,6 +116,10 @@ class StepTimer:
             self._t0 = time.perf_counter()
 
     def rate(self) -> float:
-        if self._t0 is None or self._steps <= self.warmup:
+        if self._t0 is not None and self._steps > self.warmup:
+            return (self._steps - self.warmup) / (time.perf_counter() - self._t0)
+        # Epochs shorter than the warmup (smoke runs): report the
+        # compile-inclusive rate rather than nan.
+        if self._steps == 0:
             return float("nan")
-        return (self._steps - self.warmup) / (time.perf_counter() - self._t0)
+        return self._steps / (time.perf_counter() - self._start)
