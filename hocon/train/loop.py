@@ -73,6 +73,37 @@ def epoch_pass(
 
     flushed_upto = [0]
     metric_sync_steps = 20
+    pending_eval = None
+
+    def _score_eval(i, batch, preds):
+        preds = jax.device_get(preds)
+        gt_j = np.asarray(batch["joints3d"])
+        # Wrap-around padding rows (drop_last=False) carry _valid == 0
+        # and must not bias the metrics.
+        keep = (
+            np.asarray(batch["_valid"]) > 0
+            if "_valid" in batch
+            else np.ones(gt_j.shape[0], bool)
+        )
+        evaluator.feed(gt_j[keep], preds["joints_c_mm"][keep])
+        if "obj_verts_c_mm" in preds and "objverts3d" in batch:
+            ovm = (
+                np.asarray(batch["obj_verts_mask"])[keep]
+                if "obj_verts_mask" in batch
+                else None
+            )
+            obj_meter.feed(
+                np.asarray(batch["objverts3d"])[keep],
+                preds["obj_verts_c_mm"][keep],
+                ovm,
+            )
+        if "obj_corners_c_mm" in preds and "objcorners3d" in batch:
+            corner_meter.feed(
+                np.asarray(batch["objcorners3d"])[keep],
+                preds["obj_corners_c_mm"][keep],
+            )
+        if vis_fn is not None and vis_freq and i % vis_freq == 0:
+            vis_fn(epoch, i, jax.device_get(batch), preds)
 
     for i, batch in enumerate(loader.epoch(epoch)):
         if max_steps is not None and i >= max_steps:
@@ -87,37 +118,17 @@ def epoch_pass(
             if len(pending) >= metric_sync_steps:
                 _flush_pending()
         else:
+            # One-deep pipeline: dispatch this batch's forward (async),
+            # then score the PREVIOUS batch while the device runs — the
+            # per-batch fetch no longer serializes device and host.
             preds = step_fn(state, batch)
-            preds = jax.device_get(preds)
-            gt_j = np.asarray(batch["joints3d"])
-            # Wrap-around padding rows (drop_last=False) carry _valid == 0
-            # and must not bias the metrics.
-            keep = (
-                np.asarray(batch["_valid"]) > 0
-                if "_valid" in batch
-                else np.ones(gt_j.shape[0], bool)
-            )
-            evaluator.feed(gt_j[keep], preds["joints_c_mm"][keep])
-            if "obj_verts_c_mm" in preds and "objverts3d" in batch:
-                ovm = (
-                    np.asarray(batch["obj_verts_mask"])[keep]
-                    if "obj_verts_mask" in batch
-                    else None
-                )
-                obj_meter.feed(
-                    np.asarray(batch["objverts3d"])[keep],
-                    preds["obj_verts_c_mm"][keep],
-                    ovm,
-                )
-            if "obj_corners_c_mm" in preds and "objcorners3d" in batch:
-                corner_meter.feed(
-                    np.asarray(batch["objcorners3d"])[keep],
-                    preds["obj_corners_c_mm"][keep],
-                )
-            if vis_fn is not None and vis_freq and i % vis_freq == 0:
-                vis_fn(epoch, i, jax.device_get(batch), preds)
+            if pending_eval is not None:
+                _score_eval(*pending_eval)
+            pending_eval = (i, batch, preds)
         timer.tick()
 
+    if pending_eval is not None:
+        _score_eval(*pending_eval)
     _flush_pending()
     metrics = meters.averages()
     metrics["steps_per_sec"] = timer.rate()
