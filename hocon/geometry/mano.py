@@ -411,6 +411,18 @@ def mano_forward(
     joints = joints[:, jnp.asarray(JOINT_REORDER)]
 
     if trans is not None:
+        if center_idx is not None:
+            # Centering subtracts a joint AFTER trans is added, which would
+            # cancel trans exactly (zero gradient — a silently dead
+            # parameter for any caller regressing it). No semantics for the
+            # combination are defined here; root-centered consumers apply
+            # their own absolute translation (see HOCNet heads). VERIFY
+            # against manopth once the reference tree is mounted before
+            # ever supporting both together.
+            raise ValueError(
+                "mano_forward: trans and center_idx are mutually exclusive "
+                "(centering would algebraically cancel trans)"
+            )
         verts = verts + trans[:, None]
         joints = joints + trans[:, None]
     if scale_mm:

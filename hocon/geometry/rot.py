@@ -86,9 +86,8 @@ def matrix_to_rodrigues(rot: jnp.ndarray) -> jnp.ndarray:
       (..., 3) axis-angle with angle in [0, pi].
     """
     trace = rot[..., 0, 0] + rot[..., 1, 1] + rot[..., 2, 2]
-    cos_t = jnp.clip((trace - 1.0) / 2.0, -1.0 + 1e-7, 1.0 - 1e-7)
-    theta = jnp.arccos(cos_t)
-    # Skew part gives axis * 2 sin(theta).
+    cos_t = jnp.clip((trace - 1.0) / 2.0, -1.0, 1.0)
+    # Skew part gives axis * 2 sin(theta) — well-conditioned away from pi.
     ax = jnp.stack(
         [
             rot[..., 2, 1] - rot[..., 1, 2],
@@ -97,11 +96,45 @@ def matrix_to_rodrigues(rot: jnp.ndarray) -> jnp.ndarray:
         ],
         axis=-1,
     )
-    sin_t = jnp.sin(theta)
+    # sin(theta) from the SKEW NORM, theta via atan2: arccos(trace) is
+    # ill-conditioned near theta = pi in f32 (the trace quantizes at
+    # eps(1) ~ 1.2e-7 around -1, a measured 15% sine error at
+    # theta = pi - 1e-3), while the skew entries are small differences
+    # with ~1e-7 absolute error — relatively accurate exactly where
+    # arccos is not, and atan2 is well-conditioned everywhere.
+    sin_t = 0.5 * jnp.linalg.norm(ax, axis=-1)
+    theta = jnp.arctan2(sin_t, cos_t)
     scale = jnp.where(
         theta < 1e-4, 0.5 + theta * theta / 12.0, theta / (2.0 * sin_t + _EPS)
     )
-    return ax * scale[..., None]
+    aa_skew = ax * scale[..., None]
+
+    # Near theta = pi the skew part vanishes (R is symmetric at exactly pi)
+    # and aa_skew collapses to ~0. Recover |axis| from the symmetric part
+    # (R_ii = cos + (1-cos) a_i^2) and the relative signs from the
+    # off-diagonal sums (R_ij + R_ji = 2 (1-cos) a_i a_j), anchoring the
+    # overall sign at the largest component (a and -a are both valid logs
+    # at exactly pi).
+    diag = jnp.stack([rot[..., 0, 0], rot[..., 1, 1], rot[..., 2, 2]], -1)
+    a_abs = jnp.sqrt(
+        jnp.clip((diag - cos_t[..., None]) / (1.0 - cos_t[..., None] + _EPS),
+                 0.0, 1.0)
+    )
+    m01 = rot[..., 0, 1] + rot[..., 1, 0]
+    m02 = rot[..., 0, 2] + rot[..., 2, 0]
+    m12 = rot[..., 1, 2] + rot[..., 2, 1]
+    sgn = lambda x: jnp.where(x >= 0, 1.0, -1.0)
+    a0, a1, a2 = a_abs[..., 0], a_abs[..., 1], a_abs[..., 2]
+    k0 = jnp.logical_and(a0 >= a1, a0 >= a2)
+    k1 = jnp.logical_and(jnp.logical_not(k0), a1 >= a2)
+    s0 = jnp.where(k0, 1.0, jnp.where(k1, sgn(m01), sgn(m02)))
+    s1 = jnp.where(k1, 1.0, jnp.where(k0, sgn(m01), sgn(m12)))
+    s2 = jnp.where(jnp.logical_or(k0, k1), jnp.where(k0, sgn(m02), sgn(m12)),
+                   1.0)
+    aa_pi = a_abs * jnp.stack([s0, s1, s2], -1) * theta[..., None]
+
+    near_pi = jnp.logical_and(sin_t < 1e-3, cos_t < 0.0)
+    return jnp.where(near_pi[..., None], aa_pi, aa_skew)
 
 
 def with_zeros_4x4(rot: jnp.ndarray, trans: jnp.ndarray) -> jnp.ndarray:

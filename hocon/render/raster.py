@@ -414,8 +414,9 @@ def soft_rasterize(
     zbar = normalize_depth(verts_z)
 
     if backend == "auto":
-        on_tpu = jax.default_backend() not in ("cpu",)
-        backend = "pallas" if on_tpu else "xla"
+        # Explicit tpu test: any OTHER backend (gpu/rocm) must take the
+        # XLA path — the Mosaic TPU kernels do not lower there.
+        backend = "pallas" if jax.default_backend() == "tpu" else "xla"
     if backend == "pallas":
         from hocon.render import raster_pallas
         from hocon.render.raster_pallas import (

@@ -328,7 +328,6 @@ def _raster_kernel(
     mden_ref,  # VMEM (1, 2, RB, XB)    (softmax max logit m, rel. denom)
     acc_ref,  # VMEM scratch (C+4, RB, XB): [log_neg, m, den, attr..., z]
     *,
-    n_chunks: int,
     n_attr: int,  # C + 1 (incl. depth channel)
     width: int,  # lane-block width XB
     face_chunk: int,
@@ -458,10 +457,20 @@ def _forward_padded(coeffs, bounds, image_size, sigma, gamma, n_attr):
     xb = _lane_block(wp)
     interpret = jax.default_backend() == "cpu"
 
+    # Same VMEM-residency bound as the backward (the (1, Fp, R*3) coeff
+    # block is resident per program); guard here too so forward-only paths
+    # (eval/vis) get the diagnosable error instead of Mosaic's opaque
+    # scoped-allocation failure.
+    if fp * r3 * 4 > 12 * 1024 * 1024:
+        raise ValueError(
+            f"soft_rasterize: {fp} padded faces x {r3} plane coefficients "
+            f"needs ~{fp * r3 * 4 / 1e6:.0f} MB of VMEM residency "
+            "(budget ~12 MB); decimate the mesh (--decimate_objects_to)"
+        )
+
     banded = BAND_CHUNKS > 0
     kernel = functools.partial(
         _raster_kernel,
-        n_chunks=nc,
         n_attr=n_attr,
         width=xb,
         face_chunk=FACE_CHUNK,
@@ -547,7 +556,6 @@ def _raster_bwd_kernel(
     gvis_ref,  # VMEM (1, RB, XB)
     dcoeffs_ref,  # out VMEM (1, Fp, 3R)  block @ (b,) — revisited over yi/xi
     *,
-    n_chunks: int,
     n_attr: int,
     width: int,  # lane-block width XB
     face_chunk: int,
@@ -761,7 +769,6 @@ def _backward_pallas(residual, grads, image_size, sigma, gamma, n_attr):
     banded = BAND_CHUNKS > 0
     kernel = functools.partial(
         _raster_bwd_kernel,
-        n_chunks=nc,
         n_attr=n_attr,
         width=xb,
         face_chunk=FACE_CHUNK,

@@ -58,8 +58,19 @@ def _hat_and_mask(iota, coord, lo, hi):
     cl = jnp.clip(coord, jnp.float32(lo), jnp.float32(hi))
     delta = iota - cl  # (N, P)
     w = jnp.maximum(jnp.float32(0.0), jnp.float32(1.0) - jnp.abs(delta))
+    # RIGHT-hand subgradient at the hat kinks: support delta in (-1, 1]
+    # with sign(0) := -1, giving the full forward-difference slope
+    # d/dx = img[x0+1] - img[x0] at exactly-integer coords. A symmetric
+    # sign(0) = 0 zeroed ALL three neighbor derivatives there
+    # (reviewer-confirmed); the gather reference returns HALF the slope at
+    # those ties (JAX maximum/clip tie-splitting inside jnp.clip), so the
+    # two backends differ only on this measure-zero set, each by a valid
+    # subgradient (tested in test_warp.py).
     dw = jnp.where(
-        jnp.abs(delta) < jnp.float32(1.0), jnp.sign(delta), jnp.float32(0.0)
+        jnp.logical_and(delta > jnp.float32(-1.0), delta <= jnp.float32(1.0)),
+        jnp.where(delta > jnp.float32(0.0), jnp.float32(1.0),
+                  jnp.float32(-1.0)),
+        jnp.float32(0.0),
     )
     in_rng = jnp.logical_and(coord > lo, coord < hi).astype(jnp.float32)
     return w, dw, in_rng
@@ -248,7 +259,7 @@ def bilinear_sample_pallas(
     # bf16 rows feed the MXU on TPU; CPU (interpret mode) keeps f32 so the
     # kernel is bit-comparable to the gather reference in tests.
     mm_dtype = (
-        jnp.bfloat16 if jax.default_backend() not in ("cpu",) else jnp.float32
+        jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
     )
     # CHANNEL-MAJOR flat layout: (B, C*W, H), row ci*W + wpos.
     imgT = image.transpose(0, 3, 2, 1).reshape(b, c * w, h).astype(mm_dtype)

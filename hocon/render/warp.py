@@ -13,8 +13,9 @@ and an unannotated target frame of the same video,
   4. masked SSIM + L1 photometric error between warped and target images.
 
 Everything is differentiable end-to-end and stays on-chip: the rasterizer
-is the Pallas kernel on TPU, the bilinear sampler is 4 dynamic gathers that
-XLA vectorizes, and SSIM is depthwise convolutions.
+is the Pallas kernel on TPU, the bilinear sampler is the fused MXU kernel
+in ``sample_pallas.py`` (gather fallback on CPU/GPU), and SSIM runs as
+banded-matrix matmuls (``ssim.py``).
 """
 
 from __future__ import annotations
@@ -26,7 +27,7 @@ import jax.numpy as jnp
 
 from hocon.geometry.project import persp_project
 from hocon.render.raster import RasterOutput, soft_rasterize
-from hocon.render.ssim import ssim
+from hocon.render.ssim import ssim, ssim_loss
 
 
 def bilinear_sample_gather(image: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray:
@@ -117,7 +118,7 @@ def bilinear_sample_mm(
     fx = jnp.clip(x - x0, 0.0, 1.0)
     fy = jnp.clip(y - y0, 0.0, 1.0)
 
-    on_tpu = jax.default_backend() not in ("cpu",)
+    on_tpu = jax.default_backend() == "tpu"
     mm_dtype = jnp.bfloat16 if on_tpu else image.dtype
     img2 = image.reshape(b, h, w * c).astype(mm_dtype)
     iota_h = jnp.arange(h, dtype=jnp.int32)
@@ -170,7 +171,7 @@ def bilinear_sample(
     carries image gradients on every backend (gather on CPU, matmul on
     TPU) — the default contract is identical across backends.
     """
-    if jax.default_backend() in ("cpu",):
+    if jax.default_backend() != "tpu":  # cpu AND gpu: no Mosaic kernels
         if not image_grad:
             image = jax.lax.stop_gradient(image)
         return bilinear_sample_gather(image, coords)
@@ -255,7 +256,6 @@ def photometric_loss(
     msum = jnp.sum(mask) + 1e-6
     l1_map = jnp.mean(jnp.abs(warped - target), axis=-1)
     l1 = jnp.sum(l1_map * mask) / msum
-    dssim_map = (1.0 - ssim(warped, target, window_size=window_size)) * 0.5
-    dssim = jnp.sum(dssim_map * mask) / msum
+    dssim = ssim_loss(warped, target, mask=mask, window_size=window_size)
     loss = lambda_ssim * dssim + lambda_l1 * l1
     return loss, {"photo_l1": l1, "photo_dssim": dssim, "photo_total": loss}

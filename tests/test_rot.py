@@ -101,3 +101,22 @@ def test_rodrigues_matches_torch_oracle():
     )
     want = torch.linalg.matrix_exp(k).numpy()
     np.testing.assert_allclose(got, want, atol=2e-5)
+
+
+def test_matrix_to_rodrigues_near_pi():
+    """The log map must stay correct at and near theta = pi, where the skew
+    part of R vanishes (reviewer-confirmed failure of the naive formula)."""
+    rng = np.random.default_rng(7)
+    axes = rng.normal(size=(8, 3))
+    axes /= np.linalg.norm(axes, axis=-1, keepdims=True)
+    for theta in (np.pi, np.pi - 1e-3, np.pi - 1e-5, np.pi - 0.05):
+        aa = jnp.asarray(axes * theta, jnp.float32)
+        r = rodrigues(aa)
+        back = matrix_to_rodrigues(r)
+        # a and -a are both valid logs at exactly pi: compare the induced
+        # ROTATIONS, plus the recovered angle.
+        r2 = rodrigues(back)
+        np.testing.assert_allclose(np.asarray(r2), np.asarray(r), atol=2e-3)
+        np.testing.assert_allclose(
+            np.linalg.norm(np.asarray(back), axis=-1), theta, atol=2e-3
+        )

@@ -213,3 +213,26 @@ def test_bilinear_sample_pallas_matches_gather():
     gg = jax.grad(lambda cc: loss(bilinear_sample_gather, cc))(c2)
     gp = jax.grad(lambda cc: loss(bilinear_sample_pallas, cc))(c2)
     np.testing.assert_allclose(np.asarray(gg), np.asarray(gp), atol=1e-4)
+
+
+def test_pallas_sampler_grads_at_integer_coords():
+    """At exactly-integer sample coordinates (hat kinks) the Pallas kernel
+    must return the one-sided forward-difference slope, not zero
+    (reviewer-confirmed: a symmetric sign(0)=0 zeroed all neighbors). The
+    gather reference returns HALF the slope there (JAX clip tie-splitting)
+    — both valid subgradients on a measure-zero set; away from kinks the
+    two match exactly (test_bilinear_sample_mm_grads_match_gather)."""
+    from hocon.render.sample_pallas import bilinear_sample_pallas
+
+    rng = np.random.default_rng(4)
+    img = jnp.asarray(rng.uniform(0, 1, (1, 16, 16, 3)).astype(np.float32))
+    coords = jnp.asarray(np.array([5.5, 7.5]).reshape(1, 1, 1, 2), jnp.float32)
+
+    g = np.asarray(
+        jax.grad(lambda c: jnp.sum(bilinear_sample_pallas(img, c)))(coords)
+    ).ravel()
+    a = np.asarray(img[0])
+    # x/y - 0.5 land on integers (5, 7): forward differences at that pixel.
+    want_dx = (a[7, 6] - a[7, 5]).sum()
+    want_dy = (a[8, 5] - a[7, 5]).sum()
+    np.testing.assert_allclose(g, [want_dx, want_dy], atol=1e-4)
