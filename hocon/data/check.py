@@ -66,6 +66,15 @@ def check_dataset(hand_ds, name: str = "train", max_seqs: int = 0,
         j3 = np.asarray(raw["joints3d_cam"], np.float64)
         if not np.isfinite(j3).all():
             problems.append("non-finite joints3d_cam")
+        if not j3.any():
+            # The depth/behind-camera checks below are gated on j3.any();
+            # all-zero joints (annotations present but unparsed — a primary
+            # mis-layout symptom) must be an anomaly of its own, not a
+            # silent skip of every downstream check.
+            problems.append(
+                "joints3d_cam all zeros — hand annotations missing or "
+                "unparsed (wrong meta layout/keys?)"
+            )
         if j3.any() and not (0.05 < np.abs(j3[:, 2]).mean() < 5.0):
             problems.append(
                 f"hand depth {j3[:, 2].mean():.3f} outside [0.05, 5] m — "

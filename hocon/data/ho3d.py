@@ -212,13 +212,59 @@ class HO3D:
                 self._obj_rvec[i] = np.asarray(meta["objRot"], np.float32).ravel()
                 self._obj_tvec[i] = np.asarray(meta["objTrans"], np.float32).ravel()
 
+    def _fit_cache_path(self, rows: np.ndarray) -> str:
+        """Content-keyed cache file for the precomputed fit vertices.
+
+        Keyed on the fit inputs (pose/betas/trans of the fitted rows) and
+        the MANO model digest, so a re-download, split change, or different
+        MANO assets invalidate the cache automatically."""
+        import hashlib
+
+        h = hashlib.sha256()
+        h.update(b"ho3d-fit-verts-v1")
+        if getattr(self.mano, "digest", ""):
+            h.update(self.mano.digest.encode())
+        for arr in (self._pose48[rows], self._betas[rows], self._trans[rows]):
+            h.update(np.ascontiguousarray(arr).tobytes())
+        cache_dir = os.environ.get(
+            "HOCON_CACHE_DIR", os.path.expanduser("~/.cache/hocon")
+        )
+        return os.path.join(cache_dir, f"ho3d-fits-{h.hexdigest()[:16]}.f32")
+
     def _precompute_fit_verts(self, chunk: int = 1024):
         """Batched MANO forward over ALL fitted frames, once, at init
-        (mirrors ``fphab._precompute_fit_verts``)."""
+        (mirrors ``fphab._precompute_fit_verts``).
+
+        The result is a DISK-BACKED memmap, not a resident array: the full
+        HO-3D train split is ~66k frames x 778 verts x 3 f32 ≈ 620 MB,
+        which would otherwise sit in RSS for the dataset's lifetime and be
+        duplicated per spawn-based loader worker. The memmap costs ~0
+        resident (OS page cache, evictable) and workers re-open the same
+        file (see ``__getstate__``)."""
         n = len(self.entries)
         self._fit_row = np.full(n, -1, np.int64)
+        self._fit_verts = None
+        self._fit_path = None
+        self._fit_shape = None
         if self.mano is None or not self._has_fit.any():
             return
+
+        rows = np.nonzero(self._has_fit)[0]
+        m = len(rows)
+        nv = self.mano.v_template.shape[0]
+        self._fit_shape = (m, nv, 3)
+        self._fit_path = self._fit_cache_path(rows)
+        nbytes = m * nv * 3 * 4
+        if (
+            os.path.exists(self._fit_path)
+            and os.path.getsize(self._fit_path) == nbytes
+        ):
+            self._fit_verts = np.memmap(
+                self._fit_path, np.float32, "r", shape=self._fit_shape
+            )
+            self._fit_row[rows] = np.arange(m)
+            return
+
         import jax
         import jax.numpy as jnp
 
@@ -234,25 +280,47 @@ class HO3D:
             )
             return v
 
-        rows = np.nonzero(self._has_fit)[0]
         pose, betas, trans = (
             self._pose48[rows], self._betas[rows], self._trans[rows]
         )
-        m = len(rows)
-        out = np.empty((m, self.mano.v_template.shape[0], 3), np.float32)
+        os.makedirs(os.path.dirname(self._fit_path), exist_ok=True)
+        tmp = self._fit_path + f".tmp{os.getpid()}"
+        out = np.memmap(tmp, np.float32, "w+", shape=self._fit_shape)
         for s0 in range(0, m, chunk):
             s1 = min(s0 + chunk, m)
             pad = chunk - (s1 - s0)  # fixed chunk shape -> one compile
-            out[s0:s1] = np.asarray(
+            v = np.asarray(
                 fwd(
                     jnp.asarray(np.pad(pose[s0:s1], ((0, pad), (0, 0)))),
                     jnp.asarray(np.pad(betas[s0:s1], ((0, pad), (0, 0)))),
                     jnp.asarray(np.pad(trans[s0:s1], ((0, pad), (0, 0)))),
                 )
             )[: s1 - s0]
-        # OpenGL fit frame -> CV camera frame.
-        self._fit_verts = (out @ COORD_FLIP.T).astype(np.float32)
+            # OpenGL fit frame -> CV camera frame.
+            out[s0:s1] = v @ COORD_FLIP.T
+        out.flush()
+        del out
+        os.replace(tmp, self._fit_path)  # atomic vs concurrent builders
+        self._fit_verts = np.memmap(
+            self._fit_path, np.float32, "r", shape=self._fit_shape
+        )
         self._fit_row[rows] = np.arange(m)
+
+    def __getstate__(self):
+        """Don't pickle the fit-verts memmap as a dense array (spawn-based
+        loader workers would each hold a full ~620 MB copy); workers
+        re-open the cache file instead."""
+        d = self.__dict__.copy()
+        if isinstance(d.get("_fit_verts"), np.memmap):
+            d["_fit_verts"] = None
+        return d
+
+    def __setstate__(self, d):
+        self.__dict__.update(d)
+        if self._fit_verts is None and self._fit_path is not None:
+            self._fit_verts = np.memmap(
+                self._fit_path, np.float32, "r", shape=self._fit_shape
+            )
 
     def _precompute_obj_poses(self):
         """One batched Rodrigues over every object rotation at init."""
@@ -279,7 +347,8 @@ class HO3D:
         has_fit = bool(self._has_fit[i])
         verts_cam = None
         if self.mano is not None and self._fit_row[i] >= 0:
-            verts_cam = self._fit_verts[self._fit_row[i]]
+            # Materialize the 9 KB row out of the disk-backed memmap.
+            verts_cam = np.array(self._fit_verts[self._fit_row[i]])
         out = {
             "image_path": self._rgb_path(entry),
             "joints3d_cam": self._joints_cam[i],

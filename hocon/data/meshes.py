@@ -54,10 +54,17 @@ def orient_faces_outward(
          faces so every interior edge is traversed in opposite directions
          by its two faces (the manifold consistency condition). Non-manifold
          edges (>2 incident faces) are resolved greedily.
-      2. OUTWARDNESS: per connected component, if the signed volume
-         ``sum det(v0, v1, v2) / 6`` is negative the whole component flips.
-         (Exact for watertight components; open patches keep pass-1's
-         coherent orientation with majority-outward sign.)
+      2. OUTWARDNESS: per CLOSED connected component (every undirected
+         edge shared by exactly two faces), if the signed volume
+         ``sum det(v0, v1, v2) / 6`` is negative the whole component flips
+         — exact and origin-independent for watertight surfaces. OPEN
+         components (boundary or non-manifold edges) have no well-defined
+         "outward", and the signed-volume test is origin-dependent there
+         (a coherent patch offset from the origin can read as "inward"
+         wholesale, which backface culling would then silently erase from
+         the render); instead they keep the orientation the dataset
+         authored: the component flips only if pass 1 inverted more than
+         half of its faces relative to the input winding.
 
     Returns a new (F, 3) int32 array; verts are untouched. O(F log F).
     """
@@ -125,15 +132,37 @@ def orient_faces_outward(
     out = faces.copy()
     out[flipped] = out[flipped][:, ::-1]
 
-    # Outwardness per component via signed volume (positive = outward for
-    # the cross(v1-v0, v2-v0)-points-out convention).
+    # Closedness per component: every undirected edge incident to exactly
+    # two faces. Signed volume is only meaningful (origin-independent)
+    # for closed components.
+    uniq_edges, inv, edge_count = np.unique(
+        key, axis=0, return_inverse=True, return_counts=True
+    )
+    face_open = np.zeros(nf, bool)
+    bad_edge = edge_count[inv] != 2  # per directed-edge slot, (3F,)
+    np.logical_or.at(face_open, np.arange(3 * nf) // 3, bad_edge)
+    comp_open = np.zeros(ncomp, bool)
+    np.logical_or.at(comp_open, comp_of, face_open)
+
+    # Outwardness for closed components via signed volume (positive =
+    # outward for the cross(v1-v0, v2-v0)-points-out convention).
     tri = verts[out]
     vol6 = np.einsum(
         "fi,fi->f", tri[:, 0], np.cross(tri[:, 1], tri[:, 2])
     )
     comp_vol = np.zeros(ncomp)
     np.add.at(comp_vol, comp_of, vol6)
-    flip_comp = comp_vol < 0
+
+    # Open components: keep the dataset-authored orientation — flip only
+    # if coherence pass 1 inverted a majority of the component's faces.
+    comp_nf = np.zeros(ncomp, np.int64)
+    np.add.at(comp_nf, comp_of, 1)
+    comp_nflip = np.zeros(ncomp, np.int64)
+    np.add.at(comp_nflip, comp_of, flipped.astype(np.int64))
+
+    flip_comp = np.where(
+        comp_open, comp_nflip * 2 > comp_nf, comp_vol < 0
+    )
     sel = flip_comp[comp_of]
     out[sel] = out[sel][:, ::-1]
     return out.astype(np.int32)

@@ -73,7 +73,13 @@ class _Prefetcher:
     """Iterator wrapper that assembles up to ``depth`` items ahead in a
     background thread. Device dispatch is async in JAX, so while the chip
     executes step N the thread builds batch N+1 (numpy work releases the
-    GIL in practice); exceptions propagate to the consumer."""
+    GIL in practice); exceptions propagate to the consumer.
+
+    The producer NEVER blocks indefinitely: every put is stop-aware, and
+    abandoning the iterator (``break`` mid-epoch, or dropping the iterator
+    after a single ``next``) triggers ``close()`` via the generator's
+    ``finally`` when it is closed/collected, so the thread and its queued
+    batches are released instead of leaking once per epoch."""
 
     _DONE = object()
 
@@ -81,28 +87,69 @@ class _Prefetcher:
         import queue
         import threading
 
+        self._queue_mod = queue
         self._q = queue.Queue(maxsize=depth)
+        self._stop = threading.Event()
+
+        def put(item) -> bool:
+            while not self._stop.is_set():
+                try:
+                    self._q.put(item, timeout=0.2)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def run():
             try:
                 for item in make_iter():
-                    self._q.put(item)
+                    if not put(item):
+                        return
             except BaseException as e:  # propagate, don't hang the consumer
-                self._q.put(e)
+                put(e)
             else:
-                self._q.put(self._DONE)
+                put(self._DONE)
 
         self._t = threading.Thread(target=run, daemon=True)
         self._t.start()
 
+    def close(self):
+        self._stop.set()
+        # Drop pinned batches so the producer's pending put unblocks fast.
+        try:
+            while True:
+                self._q.get_nowait()
+        except self._queue_mod.Empty:
+            pass
+
     def __iter__(self):
-        while True:
-            item = self._q.get()
-            if item is self._DONE:
-                return
-            if isinstance(item, BaseException):
-                raise item
-            yield item
+        try:
+            while True:
+                item = self._q.get()
+                if item is self._DONE:
+                    return
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+        finally:
+            self.close()
+
+
+def probe_batch(dataset, local_batch: int) -> dict:
+    """Assemble one local batch directly from the dataset, for shape
+    probing and TrainState init.
+
+    Deliberately NOT ``next(iter(train_loader))``: GrainEpochLoader shares
+    one infinite iterator across epochs, so pulling a probe batch from it
+    would permanently consume batch 0 — epoch 0 then trains on batches
+    1..N and every later epoch is misaligned by one against Grain's
+    per-epoch shuffle boundaries (silently different from --workers 0).
+    """
+    samples = [dataset[i % len(dataset)] for i in range(local_batch)]
+    batch = _TREE_STACK(samples)
+    if isinstance(batch, dict):
+        batch["_valid"] = np.ones(local_batch, np.float32)
+    return batch
 
 
 class BatchLoader:
@@ -152,7 +199,9 @@ class BatchLoader:
         n_batches = len(idx) // self.batch_size
         if not self.drop_last and len(idx) % self.batch_size:
             pad = self.batch_size - len(idx) % self.batch_size
-            idx = np.concatenate([idx, idx[:pad]])
+            # np.resize tiles: pad can exceed len(idx) (dataset smaller
+            # than one global batch) and must still fill a whole batch.
+            idx = np.concatenate([idx, np.resize(idx, pad)])
             valid = np.concatenate([valid, np.zeros(pad, np.float32)])
             n_batches += 1
         shape = (n_batches, self.shard_count, self.local_batch)
@@ -277,17 +326,27 @@ def grain_loader(
 class _WorkerEnvLoader:
     """Iterates a Grain DataLoader with worker spawns under _data_worker_env.
 
-    Grain spawns worker processes when iteration starts and may respawn
-    them later (crash recovery; timing is version-dependent), so the env
-    context is held for the LIFETIME of the iteration, not just the first
-    pull. The mutation only matters to newly spawned children — the parent
-    process latched its jax config long before — and is restored when the
-    iterator is exhausted or closed (process exit otherwise).
+    Grain spawns worker processes when iteration is driven (first pull)
+    and may respawn crashed workers on later pulls, so the env context is
+    entered around EVERY ``next`` — not held across the whole (possibly
+    infinite, ``num_epochs=None``) stream. Between pulls the parent env is
+    fully restored: unrelated subprocesses the training run spawns mid-run
+    (probes, eval dumps) see the real accelerator env instead of the
+    CPU-pinned worker env. The mutation only matters to newly spawned
+    children — the parent process latched its jax config long before.
     """
 
     def __init__(self, loader):
         self._loader = loader
 
     def __iter__(self):
-        with _data_worker_env():
-            yield from self._loader
+        it = None
+        while True:
+            with _data_worker_env():
+                if it is None:
+                    it = iter(self._loader)
+                try:
+                    item = next(it)
+                except StopIteration:
+                    return
+            yield item

@@ -33,6 +33,13 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 # machine features and warns/SIGILLs when the sandbox migrates hosts.
 jax.config.update("jax_persistent_cache_enable_xla_caches", "none")
 
+import tempfile  # noqa: E402
+
+# Dataset-level disk caches (synthetic render frames, HO-3D fit-vertex
+# memmaps) must not leak into the user's ~/.cache from tests.
+_cache_tmp = tempfile.mkdtemp(prefix="hocon_test_cache_")
+os.environ.setdefault("HOCON_CACHE_DIR", _cache_tmp)
+
 import pytest  # noqa: E402
 
 

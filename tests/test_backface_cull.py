@@ -207,3 +207,28 @@ def test_decimate_mesh_orients_output():
     dv, df = decimate_mesh(sv, bad, target_faces=600)
     assert len(df) <= 600
     assert _outward_frac(dv, df) > 0.99
+
+
+def test_orient_faces_outward_open_patch_keeps_authored_winding():
+    """OPEN components have no signed-volume 'outward': a coherent patch
+    offset from the origin must keep its dataset-authored orientation
+    (origin-dependent signed volume used to flip it wholesale, after which
+    backface culling silently erased it from the warp render)."""
+    verts = np.array(
+        [[0, 0, -5], [1, 0, -5], [0, 1, -5], [1, 1, -5]], np.float32
+    )
+    faces = np.array([[0, 1, 2], [1, 3, 2]], np.int32)  # normals +z
+    assert np.array_equal(orient_faces_outward(verts, faces), faces)
+
+    # A minority incoherent face is fixed toward the majority's winding.
+    scrambled = np.array([[0, 1, 2], [1, 2, 3]], np.int32)
+    out = orient_faces_outward(verts, scrambled)
+    tri = verts[out]
+    n = np.cross(tri[:, 1] - tri[:, 0], tri[:, 2] - tri[:, 0])
+    assert (n[:, 2] > 0).all()
+
+    # Closed components still get the exact signed-volume flip even when
+    # offset far from the origin.
+    v_off = _BOX_VERTS + np.float32([50, -30, 7])
+    fixed = orient_faces_outward(v_off, _BOX_FACES[:, ::-1])
+    assert _outward_frac(v_off, fixed) == 1.0

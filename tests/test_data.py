@@ -467,3 +467,93 @@ def test_batch_loader_prefetch_identical_and_propagates(synth):
     bad = BatchLoader(_Boom(), batch_size=4, shuffle=False, prefetch=2)
     with pytest.raises(RuntimeError, match="boom"):
         next(iter(bad.epoch(0)))
+
+
+def test_prefetcher_releases_thread_on_abandonment(synth):
+    """Dropping a prefetching iterator (``next(iter(loader))`` or a
+    mid-epoch ``break``) must stop the producer thread and release its
+    queued batches — one leaked thread + pinned batches per epoch
+    otherwise."""
+    import gc
+    import threading
+    import time
+
+    ds = HandDataset(synth, HandDatasetConfig(image_size=64, train=False))
+    loader = BatchLoader(ds, batch_size=4, prefetch=2)
+
+    before = threading.active_count()
+    for _ in range(3):
+        it = loader.epoch(0)
+        next(it)
+        del it
+        gc.collect()
+    deadline = time.monotonic() + 5.0
+    while threading.active_count() > before and time.monotonic() < deadline:
+        time.sleep(0.05)
+    assert threading.active_count() <= before
+
+
+def test_worker_env_restored_between_pulls(monkeypatch):
+    """_WorkerEnvLoader must not hold the CPU-pinned worker env across the
+    whole (infinite) stream: between batch pulls the parent env is the real
+    one, so unrelated mid-run subprocesses see the accelerator env."""
+    import os
+
+    from hocon.data.pipeline import _WorkerEnvLoader
+
+    monkeypatch.setenv("PALLAS_AXON_POOL_IPS", "10.0.0.1")
+    monkeypatch.setenv("JAX_PLATFORMS", "tpu")
+
+    seen = []
+
+    def fake_stream():
+        while True:
+            seen.append(
+                (os.environ.get("JAX_PLATFORMS"),
+                 os.environ.get("PALLAS_AXON_POOL_IPS"))
+            )
+            yield {"x": np.zeros(1)}
+
+    it = iter(_WorkerEnvLoader(fake_stream()))
+    for _ in range(3):
+        next(it)
+        # Worker env active during the pull (spawn inherits CPU pinning)...
+        assert seen[-1] == ("cpu", None)
+        # ...and fully restored between pulls.
+        assert os.environ["JAX_PLATFORMS"] == "tpu"
+        assert os.environ["PALLAS_AXON_POOL_IPS"] == "10.0.0.1"
+
+
+def test_batch_loader_pad_exceeds_dataset(synth):
+    """drop_last=False with batch_size > 2*len(dataset): the wrap-around
+    padding must tile indices (np.resize), not silently under-fill and
+    crash the reshape."""
+    class _Tiny:
+        def __len__(self):
+            return 3
+
+        def __getitem__(self, i):
+            return {"x": np.float32([i])}
+
+    loader = BatchLoader(_Tiny(), batch_size=8, shuffle=False,
+                         drop_last=False)
+    batches = list(loader.epoch(0))
+    assert len(batches) == 1
+    b = batches[0]
+    assert b["x"].shape == (8, 1)
+    np.testing.assert_array_equal(b["_valid"], [1, 1, 1, 0, 0, 0, 0, 0])
+
+
+def test_probe_batch_does_not_consume_loader(synth):
+    """probe_batch builds the init/shape-probe batch straight from the
+    dataset; a GrainEpochLoader-style shared iterator must not lose its
+    first batch to the probe."""
+    from hocon.data.pipeline import probe_batch
+
+    ds = HandDataset(synth, HandDatasetConfig(image_size=64, train=False))
+    probe = probe_batch(ds, 4)
+    ref = next(iter(BatchLoader(ds, batch_size=4, shuffle=False).epoch(0)))
+    assert sorted(probe) == sorted(ref)
+    for k in ref:
+        assert np.asarray(probe[k]).shape == np.asarray(ref[k]).shape, k
+    np.testing.assert_array_equal(probe["_valid"], np.ones(4, np.float32))

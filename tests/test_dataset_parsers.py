@@ -394,3 +394,54 @@ def test_hand_dataset_rejects_over_budget_object_mesh(mano_model):
     )
     with pytest.raises(ValueError, match="exceeds the configured buffers"):
         wrapped[0]
+
+
+def test_ho3d_fit_verts_memmap_cache(tmp_path, mano_model, monkeypatch):
+    """Fit vertices live in a disk-backed memmap (not resident RSS), the
+    cache is reused across constructions, and pickling the dataset (spawn
+    workers) re-opens the file instead of shipping a dense copy."""
+    import pickle as pkl
+
+    root = str(tmp_path / "data")
+    cache = tmp_path / "cache"
+    monkeypatch.setenv("HOCON_CACHE_DIR", str(cache))
+    _write_ho3d_tree(root, split="train")
+
+    ds = H.HO3D(root, split="train", mano=mano_model)
+    assert isinstance(ds._fit_verts, np.memmap)
+    files = list(cache.glob("ho3d-fits-*.f32"))
+    assert len(files) == 1
+    v0 = np.array(ds.get_sample(0)["verts3d_cam"])
+
+    # Second construction hits the cache (no recompute) with identical data.
+    mtime = files[0].stat().st_mtime_ns
+    ds2 = H.HO3D(root, split="train", mano=mano_model)
+    assert files[0].stat().st_mtime_ns == mtime
+    np.testing.assert_array_equal(
+        np.array(ds2.get_sample(0)["verts3d_cam"]), v0
+    )
+
+    # Pickle round-trip: the payload must NOT embed the dense array (the
+    # full HO-3D train split is ~620 MB), and the restored dataset
+    # re-opens the memmap.
+    assert ds.__getstate__()["_fit_verts"] is None
+    ds3 = pkl.loads(pkl.dumps(ds))
+    assert isinstance(ds3._fit_verts, np.memmap)
+    np.testing.assert_array_equal(
+        np.array(ds3.get_sample(0)["verts3d_cam"]), v0
+    )
+
+
+def test_check_data_flags_all_zero_joints(tmp_path, capsys):
+    """All-zero joints3d_cam (annotations present but unparsed — a primary
+    mis-layout symptom) must be an anomaly, not exit code 0."""
+    from hocon.data.check import check_dataset
+    from hocon.data.hand_dataset import HandDataset, HandDatasetConfig
+
+    root = str(tmp_path)
+    _write_ho3d_tree(root, split="train")
+    ds = H.HO3D(root, split="train")
+    ds._joints_cam[:] = 0.0  # simulate handJoints3D=None everywhere
+    hd = HandDataset(ds, HandDatasetConfig(image_size=64))
+    assert check_dataset(hd, "train") >= 1
+    assert "all zeros" in capsys.readouterr().out
