@@ -46,6 +46,7 @@ def main(argv=None):
     ds = get_dataset(
         args.dataset, args.val_split, args.data_root, args.image_size,
         use_objects=args.use_objects, train=False, mano=mano, seed=args.seed,
+        center_idx=args.center_idx,  # must match the model's root joint
         synth_videos=args.synth_videos, synth_frames=args.synth_frames,
         decimate_objects_to=getattr(args, "decimate_objects_to", 0),
         uint8_images=getattr(args, "uint8_images", False),
@@ -87,7 +88,10 @@ def main(argv=None):
         )
         all_joints, all_verts = [], []
         for batch in dump_loader.epoch(0):
-            keep = np.asarray(batch.pop("_valid", np.ones(1))) > 0
+            # BatchLoader always provides _valid; fail loudly if a loader
+            # variant ever drops it (a defaulted mask of the wrong length
+            # would silently truncate the submission).
+            keep = np.asarray(batch.pop("_valid")) > 0
             preds = eval_step(state, shard_batch(batch, mesh))
             if jax.process_count() > 1:
                 # The step's outputs are batch-sharded across processes;

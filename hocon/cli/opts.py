@@ -43,7 +43,8 @@ def add_exp_opts(p: argparse.ArgumentParser):
     g.add_argument("--profile", action="store_true",
                    help="emit a jax.profiler trace for the first steps")
     g.add_argument("--vis_freq", type=int, default=0,
-                   help="save qualitative grids every N eval batches (0=off)")
+                   help="save qualitative grids every N eval batches "
+                        "(trainwarp: warp panels every N epochs; 0=off)")
 
 
 def add_net_opts(p: argparse.ArgumentParser):

@@ -45,13 +45,17 @@ def main(argv=None):
     ds = get_dataset(
         args.dataset, args.val_split, args.data_root, args.image_size,
         use_objects=args.use_objects, train=False, mano=mano, seed=args.seed,
+        center_idx=args.center_idx,  # must match the model's root joint
         synth_videos=args.synth_videos, synth_frames=args.synth_frames,
         decimate_objects_to=getattr(args, "decimate_objects_to", 0),
         uint8_images=getattr(args, "uint8_images", False),
     )
-    loader = BatchLoader(ds, args.batch_size, shuffle=False, drop_last=False,
-                         shard_index=jax.process_index(),
-                         shard_count=jax.process_count())
+    # UNSHARDED loader: predictions.npz must cover the FULL split exactly
+    # once, so every process walks the same global batches (all must
+    # participate in the jitted step) and only process 0 writes — the same
+    # protocol as evaluate.py --dump_codalab. shard_batch still splits each
+    # batch across the device mesh inside the step.
+    loader = BatchLoader(ds, args.batch_size, shuffle=False, drop_last=False)
 
     model = build_model(args, mano)
     sample = next(iter(loader))
@@ -69,16 +73,24 @@ def main(argv=None):
     collected: dict[str, list] = {}
     for batch in loader.epoch(0):
         keep = np.asarray(batch.pop("_valid")) > 0
-        preds = jax.device_get(eval_step(state, shard_batch(batch, mesh)))
+        preds = eval_step(state, shard_batch(batch, mesh))
+        if jax.process_count() > 1:
+            # Step outputs are batch-sharded across processes; device_get
+            # on a multi-process array raises. Gather onto every host.
+            from jax.experimental import multihost_utils
+
+            preds = multihost_utils.process_allgather(preds, tiled=True)
+        preds = jax.device_get(preds)
         for k, v in preds.items():
             collected.setdefault(k, []).append(np.asarray(v)[keep])
+    if jax.process_index() != 0:
+        return None
 
     os.makedirs(args.out, exist_ok=True)
     out_path = os.path.join(args.out, "predictions.npz")
     np.savez_compressed(
         out_path, **{k: np.concatenate(v) for k, v in collected.items()}
     )
-    n = len(next(iter(collected.values()))[0]) if collected else 0
     total = sum(len(a) for a in collected.get("joints_cam", []))
     print(f"wrote {total} frame predictions "
           f"({sorted(collected)}) to {out_path}")

@@ -18,7 +18,7 @@ import numpy as np
 
 from hocon.cli import opts
 from hocon.data.factory import get_dataset
-from hocon.data.pipeline import BatchLoader
+from hocon.data.pipeline import BatchLoader, probe_batch
 from hocon.exp.args import save_args
 from hocon.models.backbone import STAGE_SIZES as _IMPORT_STAGE_SIZES
 from hocon.models.hocnet import HOCNet
@@ -193,8 +193,11 @@ def setup_common(args):
             shard_index=jax.process_index(), shard_count=jax.process_count(),
             prefetch=getattr(args, "prefetch", 0),
         )
+    # drop_last=False: in-training validation must score every sample
+    # exactly once (same invariant evaluate.py enforces) — the tail-padded
+    # rows carry _valid=0 masks, so metrics match hocon.cli.evaluate.
     val_loader = BatchLoader(
-        val_ds, args.batch_size, shuffle=False,
+        val_ds, args.batch_size, shuffle=False, drop_last=False,
         shard_index=jax.process_index(), shard_count=jax.process_count(),
     )
     return mano, run_dir, writer, mesh, train_loader, val_loader
@@ -217,7 +220,7 @@ def main(argv=None):
         args.lr_decay_step, args.lr_decay_gamma, args.grad_clip,
     )
 
-    sample = next(iter(train_loader))
+    sample = probe_batch(train_loader.dataset, train_loader.local_batch)
     state = create_train_state(
         model, mano, optimizer, sample, jax.random.PRNGKey(args.seed),
         with_object=args.use_objects,

@@ -50,7 +50,9 @@ def main(argv=None):
         args.lr_decay_step, args.lr_decay_gamma, args.grad_clip,
     )
 
-    sample = next(iter(train_loader))
+    from hocon.data.pipeline import probe_batch
+
+    sample = probe_batch(train_loader.dataset, train_loader.local_batch)
     state = create_train_state(
         model, mano, optimizer, sample["ref"], jax.random.PRNGKey(args.seed),
         with_object=args.use_objects,
@@ -85,7 +87,9 @@ def main(argv=None):
             train_loader, state, train_step, train=True, epoch=epoch,
             mesh=mesh, writer=writer, max_steps=max_steps,
         )
-        if vis_batch is not None:
+        # Warp panels every N EPOCHS here (there is no per-batch eval
+        # visualization hook in warp training; see --vis_freq help).
+        if vis_batch is not None and (epoch + 1) % args.vis_freq == 0:
             from hocon.visualize.warpvis import save_warp_panels
 
             save_warp_panels(

@@ -20,4 +20,7 @@ def save_args(args, run_dir: str, prefix: str = "opt") -> None:
         for k in sorted(d):
             f.write(f"{k}: {d[k]}\n")
     with open(os.path.join(run_dir, f"{prefix}.json"), "w") as f:
-        json.dump({k: repr(v) for k, v in d.items()}, f, indent=1)
+        # Keep native JSON types (int/bool/str round-trip as themselves);
+        # repr() only for values json cannot encode — a dump of all-repr
+        # strings could not be reloaded as a typed config.
+        json.dump(d, f, indent=1, default=repr)

@@ -25,7 +25,13 @@ def enable_compile_cache(path: str | None = None) -> None:
     22 s -> 78 s with caching enabled — and serialized executables would
     not survive the tunnel's host migrations anyway.
     """
-    if "axon" in os.environ.get("JAX_PLATFORMS", ""):
+    # Axon attachment is driven by the sitecustomize PJRT registration
+    # (PALLAS_AXON_POOL_IPS), not only by JAX_PLATFORMS — a process with
+    # the pool var set and JAX_PLATFORMS unset still lands on axon as the
+    # default backend, so gate on both.
+    if "axon" in os.environ.get("JAX_PLATFORMS", "") or os.environ.get(
+        "PALLAS_AXON_POOL_IPS"
+    ):
         return
     import jax
 

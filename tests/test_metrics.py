@@ -45,8 +45,14 @@ def test_save_args(tmp_path):
         name = "x"
 
     a = A()
-    a.__dict__.update(lr=0.1, name="x")
+    a.__dict__.update(lr=0.1, name="x", bf16=True, steps=16,
+                      weird=object())
     save_args(a, str(tmp_path))
     txt = open(tmp_path / "opt.txt").read()
     assert "lr: 0.1" in txt
-    assert json.load(open(tmp_path / "opt.json"))["name"] == "'x'"
+    # opt.json round-trips NATIVE types (a dump of all-repr strings could
+    # not be reloaded as a typed config); repr only for non-JSON values.
+    d = json.load(open(tmp_path / "opt.json"))
+    assert d["name"] == "x" and d["lr"] == 0.1
+    assert d["bf16"] is True and d["steps"] == 16
+    assert isinstance(d["weird"], str)
