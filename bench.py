@@ -27,7 +27,10 @@ PROVISIONAL_BASELINE_PAIRS_PER_SEC = 25.0
 
 BATCH_PAIRS = 16
 RES = 256
-TIMED_STEPS = 20
+# >=50 steps between host syncs (CLAUDE.md timing methodology): at ~500
+# pairs/s a 20-step window is ~0.65 s, small enough that a single 30-100 ms
+# tunnel-RTT jitter event would perturb the published number by ~15%.
+TIMED_STEPS = 60
 WARMUP_STEPS = 3
 
 
@@ -58,11 +61,14 @@ def main():
     # the number reflects real-data raster workloads (SURVEY.md §2.2). The
     # bare invocation (the driver's) keeps the box for cross-round
     # comparability.
-    obj_faces = 0
-    if "--obj_faces" in sys.argv:
-        obj_faces = int(sys.argv[sys.argv.index("--obj_faces") + 1])
+    import argparse
+
+    ap = argparse.ArgumentParser("bench")
+    ap.add_argument("--obj_faces", type=int, default=0)
     # `--stem_s2d`: space-to-depth ResNet stem A/B (backbone.stem_s2d).
-    stem_s2d = "--stem_s2d" in sys.argv
+    ap.add_argument("--stem_s2d", action="store_true")
+    cli = ap.parse_args()
+    obj_faces, stem_s2d = cli.obj_faces, cli.stem_s2d
 
     mano = synthetic_mano_model(0)
     t0 = time.perf_counter()

@@ -98,6 +98,7 @@ def main(argv=None):
                 image_size=(args.image_size, args.image_size),
                 backend=args.raster_backend,
                 consist_gt_refs=args.consist_gt_refs,
+                sigma=args.raster_sigma, gamma=args.raster_gamma,
             )
         print(f"[epoch {epoch}] train "
               f"loss={train_metrics.get('loss_total', float('nan')):.4f} "

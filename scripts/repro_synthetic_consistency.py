@@ -121,18 +121,27 @@ def main(seed: int = 0, obj_faces: int = 0):
     def evaluate(state, tag):
         eval_step = eng["eval_step"]
         ev_all, ev_unsup = EvalUtil(), EvalUtil()
-        sup_flags = np.asarray(ds_eval.pose_dataset.supervised)
-        # Note: supervised flags from the TRAIN dataset (same frames).
+        # Supervised flags from the TRAIN dataset (same frames, identical
+        # ordering — asserted against the eval split's length).
         sup_train = np.asarray(ds_single.pose_dataset.supervised)
+        assert len(sup_train) == len(ds_eval.pose_dataset.supervised)
         idx = 0
         for batch in loader_eval.epoch(0):
+            # drop_last=False wrap-around padding rows carry _valid=0 and
+            # must not be scored (they would double-count early frames).
             preds = jax.device_get(eval_step(state, batch))
             gt = np.asarray(batch["joints3d"])
+            valid = np.asarray(
+                batch.get("_valid", np.ones(gt.shape[0]))
+            ) > 0
             for k in range(gt.shape[0]):
+                if not valid[k]:
+                    continue
                 ev_all.feed(gt[k], preds["joints_c_mm"][k])
-                if not sup_train[idx % len(sup_train)]:
+                if not sup_train[idx]:
                     ev_unsup.feed(gt[k], preds["joints_c_mm"][k])
                 idx += 1
+        assert idx == len(sup_train), (idx, len(sup_train))
         mpjpe_all = ev_all.get_measures(0, 50, 20)[0]
         mpjpe_unsup = ev_unsup.get_measures(0, 50, 20)[0]
         log(f"[{tag}] MPJPE all={mpjpe_all:.2f}mm unannotated={mpjpe_unsup:.2f}mm")
@@ -181,12 +190,13 @@ def main(seed: int = 0, obj_faces: int = 0):
 
 
 if __name__ == "__main__":
-    argv = list(sys.argv[1:])
-    obj_faces = 0
-    if "--obj_faces" in argv:
-        i = argv.index("--obj_faces")
-        obj_faces = int(argv[i + 1])
-        del argv[i:i + 2]
+    import argparse
+
+    ap = argparse.ArgumentParser("repro_synthetic_consistency")
+    ap.add_argument("--obj_faces", type=int, default=0)
+    ap.add_argument("seeds_pos", nargs="*", type=int)
+    cli = ap.parse_args()
+    obj_faces, argv = cli.obj_faces, cli.seeds_pos
     # Multiple seeds run in ONE process: the train/eval step shapes are
     # seed-independent, so seeds 2..N reuse seed 1's jit cache — over the
     # tunnel that turns ~3x compile cost into ~1x.

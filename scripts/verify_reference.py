@@ -157,18 +157,25 @@ def check_mano_fingertips(ref_root):
     if not files:
         return SKIP, (f"no manolayer.py under {ref_root}; ours="
                       f"{FINGERTIP_VERT_IDS} (hocon/geometry/mano.py:52)")
+    # Scan ALL files for an exact ordered match before concluding anything
+    # from a set-only match (one file may list tips per-finger in manopth
+    # order while another carries the exact list we use).
+    set_hit = None
     for f in files:
-        # Any permutation: manopth may list per-finger (index,middle,pinky,
-        # ring,thumb); membership as a SET + our exact order both reported.
         hit = seq_in_lists(FINGERTIP_VERT_IDS, extract_int_lists(f, 5))
         if hit:
             return PASS, f"exact tip list at {f}:{hit[0]}"
-        for lineno, vals in extract_int_lists(f, 5):
-            if set(vals) == set(FINGERTIP_VERT_IDS) and len(vals) == 5:
-                return FAIL, (f"tip SET matches at {f}:{lineno} but ORDER "
-                              f"differs: ref {vals} vs ours "
-                              f"{list(FINGERTIP_VERT_IDS)} — fix "
-                              "hocon/geometry/mano.py:52 + JOINT_REORDER")
+        if set_hit is None:
+            for lineno, vals in extract_int_lists(f, 5):
+                if set(vals) == set(FINGERTIP_VERT_IDS) and len(vals) == 5:
+                    set_hit = (f, lineno, vals)
+                    break
+    if set_hit:
+        f, lineno, vals = set_hit
+        return FAIL, (f"tip SET matches at {f}:{lineno} but ORDER "
+                      f"differs: ref {vals} vs ours "
+                      f"{list(FINGERTIP_VERT_IDS)} — fix "
+                      "hocon/geometry/mano.py:52 + JOINT_REORDER")
     return FAIL, (f"no 5-int tip list matching {FINGERTIP_VERT_IDS} in "
                   f"{files} — locate manually")
 
@@ -216,15 +223,21 @@ def check_fphab_cam_intr(ref_root):
     if not files:
         return SKIP, ("no fhbhands.py; ours: fx=1395.749 cx=935.73 "
                       "cy=540.68 (hocon/data/fphab.py:32)")
+    # Exact matrix match in ANY file wins; only then fall back to the
+    # fx-literal MANUAL hint (an early return here would mask an exact
+    # match in a later file).
+    manual_hit = None
     for f in files:
         lineno = matrix_in_file(np.asarray(CAM_INTR, np.float64),
                                 extract_float_matrices(f), atol=1e-3)
         if lineno:
             return PASS, f"color intrinsics match at {f}:{lineno}"
-        if grep(f, r"1395\.74"):
-            ln = grep(f, r"1395\.74")[0][0]
-            return MANUAL, (f"fx literal present at {f}:{ln} but full matrix "
-                            "not parseable — eyeball cx/cy")
+        if manual_hit is None and grep(f, r"1395\.74"):
+            manual_hit = (f, grep(f, r"1395\.74")[0][0])
+    if manual_hit:
+        return MANUAL, (f"fx literal present at {manual_hit[0]}:"
+                        f"{manual_hit[1]} but full matrix not parseable — "
+                        "eyeball cx/cy")
     return FAIL, f"intrinsics (fx~1395.749) not found in {files}"
 
 
