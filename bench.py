@@ -38,6 +38,28 @@ def log(msg: str):
     print(msg, file=sys.stderr, flush=True)
 
 
+def probe_tunnel(jax, jnp, retries: int = 1) -> float:
+    """Trivial-matmul tunnel health probe (CLAUDE.md: a degraded axon tunnel
+    inflates compiles 5-15x; a 512x512 matmul jit is ~1-3 s healthy, >20 s
+    degraded).  Logs the number so a slow bench run is interpretable, and
+    retries once after a pause in case the degradation is transient."""
+    for attempt in range(retries + 1):
+        t0 = time.perf_counter()
+        x = jnp.ones((512, 512), jnp.float32)
+        jax.block_until_ready(jax.jit(lambda a: a @ a)(x))
+        dt = time.perf_counter() - t0
+        log(f"tunnel probe (512x512 matmul compile+run): {dt:.1f}s")
+        if dt < 20.0:
+            return dt
+        if attempt < retries:
+            log("tunnel DEGRADED (probe >20s); retrying in 30s ...")
+            time.sleep(30.0)
+    log("WARNING: tunnel still degraded after retry; expect the warp-step "
+        "compile below to be 5-15x slower than the healthy ~25s. The timed "
+        "steady-state throughput is unaffected once compiled.")
+    return dt
+
+
 def main():
     from hocon.utils.compile_cache import enable_compile_cache
 
@@ -55,6 +77,8 @@ def main():
 
     n_chips = jax.device_count()
     log(f"devices: {jax.devices()} (n={n_chips})")
+    if jax.devices()[0].platform != "cpu":
+        probe_tunnel(jax, jnp)
 
     # Optional realistic-object variant: `python bench.py --obj_faces 1280`
     # renders a YCB-scale (decimated) sphere instead of the 12-face box, so

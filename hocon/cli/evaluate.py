@@ -20,7 +20,7 @@ import numpy as np
 from hocon.cli import opts
 from hocon.cli.train import apply_torch_init, build_model
 from hocon.data.factory import get_dataset
-from hocon.data.pipeline import BatchLoader
+from hocon.data.pipeline import BatchLoader, GrainEvalLoader, probe_batch
 from hocon.evaluation.codalab import dump_ho3d_codalab
 from hocon.train.checkpoints import CheckpointManager
 from hocon.train.loop import epoch_pass
@@ -58,14 +58,20 @@ def main(argv=None):
             1 if check_dataset(ds, args.val_split,
                                max_seqs=args.check_data_seqs) else 0
         )
-    loader = BatchLoader(
+    # --workers > 0 moves JPEG decode / crop per sample into Grain child
+    # processes; batches and _valid masks are bit-identical to workers=0.
+    loader = GrainEvalLoader(
         ds, args.batch_size, shuffle=False, drop_last=False,
         shard_index=jax.process_index(), shard_count=jax.process_count(),
+        worker_count=args.workers,
     )
 
     model = build_model(args, mano)
     optimizer = make_optimizer(args.optimizer, args.lr)
-    sample = next(iter(loader))
+    # Shape-probe directly from the dataset: pulling the probe from the
+    # loader would spin up (and abandon) a Grain worker pool when
+    # --workers > 0.
+    sample = probe_batch(ds, loader.local_batch)
     state = create_train_state(
         model, mano, optimizer, sample, jax.random.PRNGKey(0),
         with_object=args.use_objects,

@@ -196,9 +196,14 @@ def setup_common(args):
     # drop_last=False: in-training validation must score every sample
     # exactly once (same invariant evaluate.py enforces) — the tail-padded
     # rows carry _valid=0 masks, so metrics match hocon.cli.evaluate.
-    val_loader = BatchLoader(
+    # With --workers > 0 the sample assembly runs in Grain child processes
+    # (GrainEvalLoader keeps BatchLoader's exact batches + _valid masks).
+    from hocon.data.pipeline import GrainEvalLoader
+
+    val_loader = GrainEvalLoader(
         val_ds, args.batch_size, shuffle=False, drop_last=False,
         shard_index=jax.process_index(), shard_count=jax.process_count(),
+        worker_count=args.workers,
     )
     return mano, run_dir, writer, mesh, train_loader, val_loader
 

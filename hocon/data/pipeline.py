@@ -285,6 +285,103 @@ class GrainEpochLoader:
         return self.epoch(0)
 
 
+class GrainEvalLoader:
+    """Multi-worker EVAL loader with exactly-once-per-sample semantics.
+
+    Reference parity: the reference evaluates with ``DataLoader(workers=8)``
+    too (SURVEY §2.1 epoch-loop row); ``GrainEpochLoader`` cannot serve
+    eval because Grain's sampler drops the dataset tail and carries no
+    validity masks. This loader instead reuses ``BatchLoader``'s index and
+    wrap-around-padding math verbatim — the batch composition, ordering,
+    and ``_valid`` masks are bit-identical to ``BatchLoader`` — and only
+    moves the per-sample ``dataset[i]`` work (decode / crop / augment)
+    into ``worker_count`` Grain child processes. Metrics from an eval
+    pass therefore match ``--workers 0`` exactly (tested:
+    test_data.py::test_grain_eval_loader_bitwise_parity).
+
+    ``worker_count == 0`` falls back to the in-process BatchLoader.
+    """
+
+    def __init__(
+        self,
+        dataset,
+        batch_size: int,
+        shuffle: bool = False,
+        seed: int = 0,
+        drop_last: bool = False,
+        shard_index: int = 0,
+        shard_count: int = 1,
+        worker_count: int = 0,
+    ):
+        self._inner = BatchLoader(
+            dataset, batch_size, shuffle=shuffle, seed=seed,
+            drop_last=drop_last, shard_index=shard_index,
+            shard_count=shard_count,
+        )
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.local_batch = self._inner.local_batch
+        self.worker_count = worker_count
+
+    def steps_per_epoch(self) -> int:
+        return self._inner.steps_per_epoch()
+
+    def epoch(self, epoch: int = 0) -> Iterator[dict]:
+        if self.worker_count <= 0:
+            yield from self._inner.epoch(epoch)
+            return
+        import grain.python as grain
+
+        indices, valids = self._inner.epoch_indices(epoch)
+        dataset = self.dataset
+
+        class _BatchSource:
+            """source[b] = fully assembled batch b. One record per BATCH,
+            map-only pipeline (no grain.Batch): Grain stripes records
+            across workers and applies operations per worker stream, so a
+            grain.Batch over sample records would group every W-th sample
+            (observed: [0,2,4] with 2 workers). With batch-granular
+            records the round-robin worker interleave reconstructs the
+            sampler order exactly, and batch composition is decided solely
+            by epoch_indices — identical to BatchLoader."""
+
+            def __len__(self):
+                return len(indices)
+
+            def __getitem__(self, b):
+                samples = [dataset[int(i)] for i in indices[b]]
+                return _TREE_STACK(samples)
+
+        sampler = grain.IndexSampler(
+            num_records=len(indices),
+            shard_options=grain.ShardOptions(
+                shard_index=0, shard_count=1, drop_remainder=True
+            ),
+            shuffle=False,
+            num_epochs=1,
+            seed=0,
+        )
+        loader = grain.DataLoader(
+            data_source=_BatchSource(),
+            sampler=sampler,
+            operations=[],
+            worker_count=self.worker_count,
+        )
+        it = iter(_WorkerEnvLoader(loader))
+        for batch_valid in valids:
+            batch = next(it)
+            if isinstance(batch, dict):
+                batch["_valid"] = batch_valid
+            yield batch
+        # Drain the exhausted stream so Grain shuts its worker pool down
+        # now (leaving it to GC leaks shared-memory segments until exit).
+        for _ in it:
+            pass
+
+    def __iter__(self):
+        return self.epoch(0)
+
+
 def grain_loader(
     dataset,
     batch_size: int,

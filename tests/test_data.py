@@ -97,6 +97,32 @@ def test_hand_dataset_determinism(synth):
     )
 
 
+def test_hue_jitter_fused_rotation():
+    """The fused single-matmul hue rotation (augment.py) must equal the
+    two-stage RGB->YIQ->rotate->RGB reference, and leave gray pixels gray
+    (hue rotation only touches the I/Q chroma channels)."""
+    from hocon.data.augment import _RGB2YIQ, _YIQ2RGB, color_jitter
+
+    rng = np.random.default_rng(0)
+    img = rng.random((32, 32, 3)).astype(np.float32) * 0.8 + 0.1
+    t = 0.07 * np.pi  # what hue=0.1 can draw
+    cos, sin = np.cos(t), np.sin(t)
+    rot = np.array([[1, 0, 0], [0, cos, -sin], [0, sin, cos]], np.float32)
+    ref = ((img @ _RGB2YIQ.T) @ rot.T) @ _YIQ2RGB.T
+    fused = img @ (_YIQ2RGB @ rot @ _RGB2YIQ).astype(np.float32).T
+    np.testing.assert_allclose(fused, ref, atol=1e-6)
+
+    gray = np.full((8, 8, 3), 0.5, np.float32)
+    out = gray @ (_YIQ2RGB @ rot @ _RGB2YIQ).astype(np.float32).T
+    np.testing.assert_allclose(out, gray, atol=1e-6)
+
+    # hue is ON by default in train-mode jitter and changes the image.
+    cfg = AugmentConfig(brightness=0, contrast=0, saturation=0)
+    assert cfg.hue > 0
+    jit = color_jitter(np.random.default_rng(1), img, cfg)
+    assert np.abs(jit - img).max() > 1e-4
+
+
 def test_pair_mode_same_video_and_color_jitter(synth):
     ds = HandDataset(
         synth,
@@ -212,6 +238,49 @@ def test_grain_epoch_loader_workers_epoch_boundary(synth):
         # Full-epoch coverage: each dataset index exactly once (8 samples,
         # batch 4, 2 steps -> no repeats and no drops within the epoch).
         assert len(np.unique(ids)) == len(ids)
+
+
+def test_grain_eval_loader_bitwise_parity(synth):
+    """GrainEvalLoader (workers>0) must yield batches BIT-IDENTICAL to
+    BatchLoader (workers=0) — same sample order, same wrap-around tail
+    padding, same _valid masks — so eval metrics cannot depend on the
+    worker count (VERDICT r3 #5)."""
+    pytest.importorskip("grain")
+    from hocon.data.pipeline import GrainEvalLoader
+
+    ds = HandDataset(synth, HandDatasetConfig(image_size=64))
+    # batch 3 over 8 samples -> 3 batches with a padded tail row.
+    ref = BatchLoader(ds, batch_size=3, shuffle=False, drop_last=False)
+    got = GrainEvalLoader(
+        ds, batch_size=3, shuffle=False, drop_last=False, worker_count=2
+    )
+    assert got.steps_per_epoch() == ref.steps_per_epoch() == 3
+    ref_batches = list(ref.epoch(0))
+    got_batches = list(got.epoch(0))
+    assert len(ref_batches) == len(got_batches)
+    assert np.asarray(ref_batches[-1]["_valid"]).sum() == 2  # real tail rows
+    for rb, gb in zip(ref_batches, got_batches):
+        assert sorted(rb.keys()) == sorted(gb.keys())
+        for k in rb:
+            r, g = np.asarray(rb[k]), np.asarray(gb[k])
+            assert r.dtype == g.dtype, k
+            np.testing.assert_array_equal(r, g, err_msg=k)
+    # worker_count=0 falls back to the in-process path, also identical.
+    got0 = list(GrainEvalLoader(
+        ds, batch_size=3, shuffle=False, drop_last=False, worker_count=0
+    ).epoch(0))
+    for rb, gb in zip(ref_batches, got0):
+        for k in rb:
+            np.testing.assert_array_equal(np.asarray(rb[k]), np.asarray(gb[k]))
+    # The eval-pass guard on the tail-dropping train loader must survive.
+    from hocon.train.loop import epoch_pass
+    from hocon.data.pipeline import GrainEpochLoader
+
+    with pytest.raises(ValueError, match="train-only"):
+        epoch_pass(
+            GrainEpochLoader(ds, batch_size=4, shuffle=True, seed=0),
+            state=None, step_fn=None, train=False,
+        )
 
 
 def test_rotation_aug_rotates_3d_labels(synth):
