@@ -89,10 +89,8 @@ def main():
 
     ap = argparse.ArgumentParser("bench")
     ap.add_argument("--obj_faces", type=int, default=0)
-    # `--stem_s2d`: space-to-depth ResNet stem A/B (backbone.stem_s2d).
-    ap.add_argument("--stem_s2d", action="store_true")
     cli = ap.parse_args()
-    obj_faces, stem_s2d = cli.obj_faces, cli.stem_s2d
+    obj_faces = cli.obj_faces
 
     mano = synthetic_mano_model(0)
     t0 = time.perf_counter()
@@ -108,7 +106,7 @@ def main():
 
     mesh = make_mesh()
     model = HOCNet(with_object=True, freeze_batchnorm=True,
-                   dtype=jnp.bfloat16, stem_s2d=stem_s2d)
+                   dtype=jnp.bfloat16)
     optimizer = make_optimizer("adam", 1e-4)
     state = create_train_state(
         model, mano, optimizer, batch["ref"], jax.random.PRNGKey(0)

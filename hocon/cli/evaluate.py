@@ -20,7 +20,7 @@ import numpy as np
 from hocon.cli import opts
 from hocon.cli.train import apply_torch_init, build_model
 from hocon.data.factory import get_dataset
-from hocon.data.pipeline import BatchLoader, GrainEvalLoader, probe_batch
+from hocon.data.pipeline import GrainEvalLoader, probe_batch
 from hocon.evaluation.codalab import dump_ho3d_codalab
 from hocon.train.checkpoints import CheckpointManager
 from hocon.train.loop import epoch_pass
@@ -89,12 +89,13 @@ def main(argv=None):
         # process runs the same unsharded loop (all must participate in the
         # jitted step — a process-0-only compute path would deadlock a
         # multi-process mesh); only process 0 writes the file.
-        dump_loader = BatchLoader(
+        dump_loader = GrainEvalLoader(
             ds, args.batch_size, shuffle=False, drop_last=False,
+            worker_count=args.workers,
         )
         all_joints, all_verts = [], []
         for batch in dump_loader.epoch(0):
-            # BatchLoader always provides _valid; fail loudly if a loader
+            # GrainEvalLoader always provides _valid; fail loudly if a loader
             # variant ever drops it (a defaulted mask of the wrong length
             # would silently truncate the submission).
             keep = np.asarray(batch.pop("_valid")) > 0

@@ -62,11 +62,6 @@ def add_net_opts(p: argparse.ArgumentParser):
     g.add_argument("--bf16", action="store_true", default=True,
                    help="bfloat16 trunk compute (TPU MXU native)")
     g.add_argument("--no_bf16", dest="bf16", action="store_false")
-    g.add_argument("--stem_s2d", action="store_true",
-                   help="space-to-depth ResNet stem: exact 4x4/1 conv "
-                        "equivalent of the 7x7/2 stem, relaid out for the "
-                        "MXU's 128-lane channel dim (torch weights are "
-                        "transformed on import)")
     g.add_argument("--mano_lambda_verts3d", type=float, default=0.167)
     g.add_argument("--mano_lambda_joints3d", type=float, default=0.167)
     # 2D reprojection anchors the absolute branch (3D losses are

@@ -53,7 +53,6 @@ def build_model(args, mano):
         backbone=args.backbone,
         freeze_batchnorm=args.freeze_batchnorm,
         dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
-        stem_s2d=getattr(args, "stem_s2d", False),
     )
 
 

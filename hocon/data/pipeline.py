@@ -247,6 +247,12 @@ class GrainEpochLoader:
     ``train_only`` is enforced by ``hocon.train.loop.epoch_pass``: feeding
     this loader to an eval pass would silently drop the dataset tail
     (``drop_remainder=True``, no ``_valid`` masks) and bias the metrics.
+
+    Note: with ``worker_count > 0`` Grain stripes records across workers
+    and batches per worker stream, so batch COMPOSITION differs from
+    ``worker_count == 0`` (every sample still appears exactly once per
+    epoch — tested). Fine for shuffled training; exactly why eval uses
+    ``GrainEvalLoader`` instead.
     """
 
     train_only = True

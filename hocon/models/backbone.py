@@ -23,46 +23,6 @@ import jax.numpy as jnp
 ModuleDef = Any
 
 
-def space_to_depth(x: jnp.ndarray, factor: int = 2) -> jnp.ndarray:
-    """(B, H, W, C) -> (B, H/f, W/f, f*f*C); channel order (fh, fw, c).
-
-    The stem optimization below relies on this exact channel order —
-    ``stem_kernel_to_s2d`` produces kernels indexed the same way.
-    """
-    b, h, w, c = x.shape
-    f = factor
-    if h % f or w % f:
-        raise ValueError(
-            f"stem_s2d requires input H/W divisible by {f}, got {(h, w)} — "
-            f"use the standard 7x7/2 stem for odd image sizes"
-        )
-    x = x.reshape(b, h // f, f, w // f, f, c)
-    x = x.transpose(0, 1, 3, 2, 4, 5)
-    return x.reshape(b, h // f, w // f, f * f * c)
-
-
-def stem_kernel_to_s2d(kernel: jnp.ndarray) -> jnp.ndarray:
-    """Transform a 7x7/stride-2 stem kernel (HWIO) to its space-to-depth
-    equivalent: a 4x4/stride-1 kernel over 2x2-space-to-depth input.
-
-    The MXU runs convs as GEMMs with the channel dim in 128-wide lanes, so
-    a C_in=3 stem wastes almost the whole array; folding a 2x2
-    space-to-depth turns it into C_in=12 with identical math (the standard
-    MLPerf-ResNet TPU stem trick). Derivation: out[i] = sum_k in[2i-3+k] w[k]
-    = sum_{k'} in[2i-4+k'] w8[k'] with w8 = [0, w] zero-padded at the
-    leading edge; pixel 2i-4+k' lives in s2d block (i-2)+bk at offset
-    fh = k' mod 2, so w_s2d[bk, :, (fh, fw, c), o] = w8[2bk+fh, ...] and
-    the block conv has stride 1, padding (2, 1). Exactness is tested
-    (test_models.py).
-    """
-    k = jnp.asarray(kernel)
-    kh, kw, c, o = k.shape
-    assert (kh, kw) == (7, 7), "s2d stem transform expects a 7x7 kernel"
-    k8 = jnp.pad(k, ((1, 0), (1, 0), (0, 0), (0, 0)))
-    k8 = k8.reshape(4, 2, 4, 2, c, o).transpose(0, 2, 1, 3, 4, 5)
-    return k8.reshape(4, 4, 4 * c, o)
-
-
 class BasicBlock(nn.Module):
     filters: int
     strides: int
@@ -131,11 +91,6 @@ class ResNet(nn.Module):
     num_filters: int = 64
     dtype: jnp.dtype = jnp.float32
     freeze_batchnorm: bool = True
-    # Replace the 7x7/2 stem conv (C_in=3 starves the MXU's 128 lanes)
-    # with the exact space-to-depth equivalent: 2x2 s2d + 4x4/1 conv on 12
-    # channels (see stem_kernel_to_s2d). Weight importers transform 7x7
-    # checkpoints automatically.
-    stem_s2d: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False, return_spatial: bool = False):
@@ -150,13 +105,14 @@ class ResNet(nn.Module):
         )
 
         x = x.astype(self.dtype)
-        if self.stem_s2d:
-            x = space_to_depth(x, 2)
-            x = conv(self.num_filters, (4, 4), (1, 1),
-                     padding=[(2, 1), (2, 1)], name="conv_init")(x)
-        else:
-            x = conv(self.num_filters, (7, 7), (2, 2),
-                     padding=[(3, 3), (3, 3)], name="conv_init")(x)
+        # A space-to-depth stem (2x2 s2d + exact-equivalent 4x4/1 conv, the
+        # MLPerf-ResNet trick for the C_in=3 MXU-lane starvation) was built
+        # and A/B'd on v5e-1 in round 4: no win at 256px (toy bench 500.6
+        # vs 507.6 pairs/s, realistic 393.3 vs 393.9; trunk MFU 30.7% vs
+        # 31.7%) — XLA already handles the small-C_in stem well here, so
+        # the variant was removed. Don't re-add without a new measurement.
+        x = conv(self.num_filters, (7, 7), (2, 2),
+                 padding=[(3, 3), (3, 3)], name="conv_init")(x)
         x = norm(name="bn_init")(x)
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])

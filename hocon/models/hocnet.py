@@ -39,7 +39,6 @@ class HOCNet(nn.Module):
     freeze_batchnorm: bool = True
     z_init: float = 0.6  # initial root/object depth for both trans heads
     dtype: jnp.dtype = jnp.float32
-    stem_s2d: bool = False  # space-to-depth stem (backbone.stem_kernel_to_s2d)
 
     @nn.compact
     def __call__(
@@ -52,7 +51,7 @@ class HOCNet(nn.Module):
     ) -> dict:
         trunk = _BACKBONES[self.backbone](
             dtype=self.dtype, freeze_batchnorm=self.freeze_batchnorm,
-            stem_s2d=self.stem_s2d, name="trunk",
+            name="trunk",
         )
         feats = trunk(images, train=train)
 

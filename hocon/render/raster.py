@@ -430,7 +430,11 @@ def soft_rasterize(
         # backward no scatter) — the sort permutes only integer metadata.
         # With two-level culling enabled, a secondary x-sort within y-bands
         # tightens per-chunk x-bboxes (see raster_pallas.BAND_CHUNKS).
-        band_faces = raster_pallas.BAND_CHUNKS * raster_pallas.FACE_CHUNK
+        # The schedule adapts to the (static) face count: high-face-count
+        # scenes switch to 128-column lane blocks + banded x-culling
+        # (raster_pallas.auto_config; env HOCON_* constants pin it).
+        cfg = raster_pallas.auto_config(faces.shape[-2], image_size[1])
+        band_faces = cfg.band_chunks * cfg.face_chunk
         faces_sorted, face_bbox = sort_faces_by_y(
             verts_pix, faces, band_faces=band_faces,
             backface_cull=backface_cull,
@@ -439,7 +443,7 @@ def soft_rasterize(
                              backface_cull=backface_cull)
         return rasterize_planes_pallas(
             planes, face_bbox, image_size=image_size, sigma=sigma,
-            gamma=gamma, presorted=True,
+            gamma=gamma, presorted=True, config=cfg,
         )
     planes = face_planes(verts_pix, zbar, faces, attrs,
                          backface_cull=backface_cull)

@@ -33,6 +33,7 @@ from __future__ import annotations
 
 import functools
 import os
+import typing
 
 import jax
 import jax.numpy as jnp
@@ -76,10 +77,57 @@ LANE_BLOCK = int(os.environ.get("HOCON_LANE_BLOCK", "256"))
 # scheme).
 BAND_CHUNKS = int(os.environ.get("HOCON_BAND_CHUNKS", "0"))
 
+# True when a sweep pinned the schedule via HOCON_* env vars — the
+# face-count-adaptive auto policy then stands down so sweeps measure
+# exactly what they asked for.
+_ENV_PINNED = any(
+    k in os.environ
+    for k in ("HOCON_FACE_CHUNK", "HOCON_LANE_BLOCK", "HOCON_BAND_CHUNKS")
+)
 
-def _lane_block(wp: int) -> int:
+
+class RasterConfig(typing.NamedTuple):
+    """Kernel schedule (hashable — used as a jit-static / nondiff arg).
+
+    face_chunk: faces per culling chunk; lane_block: max pixel-column
+    block per program; band_chunks: chunks per x-sorted band (0 = single-
+    level y-interval culling).
+    """
+
+    face_chunk: int
+    lane_block: int
+    band_chunks: int
+
+
+def default_config() -> RasterConfig:
+    """The module-constant (env-overridable) schedule."""
+    return RasterConfig(FACE_CHUNK, LANE_BLOCK, BAND_CHUNKS)
+
+
+def auto_config(n_faces: int, width: int) -> RasterConfig:
+    """Face-count-adaptive schedule (trace-time: n_faces/width are static).
+
+    Policy: at high face counts switch to the 2x128 lane split + banded
+    x-culling — the CPU occupancy model (scripts/analyze_occupancy.py,
+    which replays the exact chunk-interval math on the bench's realistic
+    scene) predicts 0.78x face-pixel work for (32, 128, 4) and 0.64x for
+    (16, 128, 4) at 2.85k faces, vs a ~5-10% LANE_BLOCK-split penalty
+    measured at hand-only scale in round 2 (RESULTS.md 512px row). The
+    threshold and the exact config are validated/tuned by the on-TPU
+    sweep in scripts/sweep_raster.py (see KERNELS.md for the measured
+    table). Env-pinned constants (HOCON_*) override everything so sweeps
+    measure exactly what they ask for.
+    """
+    if _ENV_PINNED:
+        return default_config()
+    if n_faces >= 2048 and width >= 256:
+        return RasterConfig(face_chunk=32, lane_block=128, band_chunks=4)
+    return RasterConfig(FACE_CHUNK, LANE_BLOCK, BAND_CHUNKS)
+
+
+def _lane_block(wp: int, lane_block: int = LANE_BLOCK) -> int:
     """Lane-block width for a padded image width (wp a multiple of 128)."""
-    return wp if wp <= LANE_BLOCK else 128
+    return wp if wp <= lane_block else 128
 # Coverage is sigmoid(-d^2/sigma^2): at 4.5*sigma from a face it is ~1.6e-9
 # (and its gradient smaller still), orders of magnitude below the f32 noise
 # of the accumulation itself — culling chunks beyond this radius changes
@@ -447,14 +495,15 @@ def _raster_kernel(
     mden_ref[0, 1] = den
 
 
-def _forward_padded(coeffs, bounds, image_size, sigma, gamma, n_attr):
+def _forward_padded(coeffs, bounds, image_size, sigma, gamma, n_attr,
+                    config: RasterConfig):
     """Run the forward kernel; returns PADDED (sil, attr, vis, mden)."""
     b, fp, r3 = coeffs.shape
     h, w = image_size
     wp = _round_up(w, 128)
     hp = _round_up(h, ROW_BLOCK)
     nc = bounds.shape[1]
-    xb = _lane_block(wp)
+    xb = _lane_block(wp, config.lane_block)
     interpret = jax.default_backend() == "cpu"
 
     # Same VMEM-residency bound as the backward (the (1, Fp, R*3) coeff
@@ -468,19 +517,21 @@ def _forward_padded(coeffs, bounds, image_size, sigma, gamma, n_attr):
             "(budget ~12 MB); decimate the mesh (--decimate_objects_to)"
         )
 
-    banded = BAND_CHUNKS > 0
+    banded = config.band_chunks > 0
     kernel = functools.partial(
         _raster_kernel,
         n_attr=n_attr,
         width=xb,
-        face_chunk=FACE_CHUNK,
+        face_chunk=config.face_chunk,
         sigma=sigma,
         gamma=gamma,
         banded=banded,
     )
     nyb = hp // ROW_BLOCK
     if banded:
-        krange, xrange = _chunk_ranges_2d(bounds, hp, wp, xb, BAND_CHUNKS)
+        krange, xrange = _chunk_ranges_2d(
+            bounds, hp, wp, xb, config.band_chunks
+        )
     else:
         krange = _chunk_ranges(bounds, hp)
         xrange = jnp.zeros((b, 1, 1, 2), jnp.int32)
@@ -524,19 +575,21 @@ def _forward_padded(coeffs, bounds, image_size, sigma, gamma, n_attr):
     )(krange, xrange, bounds, coeffs)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
-def _rasterize_sorted(coeffs, bounds, image_size, sigma, gamma, n_attr):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
+def _rasterize_sorted(coeffs, bounds, image_size, sigma, gamma, n_attr,
+                      config: RasterConfig):
     h, w = image_size
     sil, attr, vis, _ = _forward_padded(
-        coeffs, bounds, image_size, sigma, gamma, n_attr
+        coeffs, bounds, image_size, sigma, gamma, n_attr, config
     )
     return sil[:, :h, :w], attr[:, :, :h, :w], vis[:, :h, :w]
 
 
-def _rasterize_sorted_fwd(coeffs, bounds, image_size, sigma, gamma, n_attr):
+def _rasterize_sorted_fwd(coeffs, bounds, image_size, sigma, gamma, n_attr,
+                          config: RasterConfig):
     h, w = image_size
     sil, attr, vis, mden = _forward_padded(
-        coeffs, bounds, image_size, sigma, gamma, n_attr
+        coeffs, bounds, image_size, sigma, gamma, n_attr, config
     )
     out = (sil[:, :h, :w], attr[:, :, :h, :w], vis[:, :h, :w])
     return out, (coeffs, bounds, sil, attr, vis, mden)
@@ -736,7 +789,8 @@ def _raster_bwd_kernel(
         )
 
 
-def _backward_pallas(residual, grads, image_size, sigma, gamma, n_attr):
+def _backward_pallas(residual, grads, image_size, sigma, gamma, n_attr,
+                     config: RasterConfig):
     coeffs, bounds, sil, attr, vis, mden = residual
     g_sil, g_attr, g_vis = grads
     b, fp, r3 = coeffs.shape
@@ -765,13 +819,13 @@ def _backward_pallas(residual, grads, image_size, sigma, gamma, n_attr):
             "residency (budget ~12 MB after pixel blocks); decimate the "
             "mesh (--decimate_objects_to) to fit"
         )
-    xb = _lane_block(wp)
-    banded = BAND_CHUNKS > 0
+    xb = _lane_block(wp, config.lane_block)
+    banded = config.band_chunks > 0
     kernel = functools.partial(
         _raster_bwd_kernel,
         n_attr=n_attr,
         width=xb,
-        face_chunk=FACE_CHUNK,
+        face_chunk=config.face_chunk,
         sigma=sigma,
         gamma=gamma,
         banded=banded,
@@ -785,7 +839,9 @@ def _backward_pallas(residual, grads, image_size, sigma, gamma, n_attr):
     )
     nyb = hp // rbk
     if banded:
-        krange, xrange = _chunk_ranges_2d(bounds, hp, wp, xb, BAND_CHUNKS)
+        krange, xrange = _chunk_ranges_2d(
+            bounds, hp, wp, xb, config.band_chunks
+        )
     else:
         krange = _chunk_ranges(bounds, hp)
         xrange = jnp.zeros((b, 1, 1, 2), jnp.int32)
@@ -842,14 +898,19 @@ def _xla_equivalent(coeffs, image_size, sigma, gamma, n_attr):
     return out.sil, attr, out.vis
 
 
-def _rasterize_sorted_bwd(image_size, sigma, gamma, n_attr, residual, grads):
-    dcoeffs = _backward_pallas(residual, grads, image_size, sigma, gamma, n_attr)
+def _rasterize_sorted_bwd(image_size, sigma, gamma, n_attr, config,
+                          residual, grads):
+    dcoeffs = _backward_pallas(
+        residual, grads, image_size, sigma, gamma, n_attr, config
+    )
     return dcoeffs, None
 
 
-def _rasterize_sorted_bwd_xla(image_size, sigma, gamma, n_attr, residual, grads):
+def _rasterize_sorted_bwd_xla(image_size, sigma, gamma, n_attr, config,
+                              residual, grads):
     """Reference backward via jax.vjp of the XLA path (used by tests to
     validate the hand-written backward kernel)."""
+    del config  # the XLA reference has no schedule
     coeffs = residual[0]
     _, vjp = jax.vjp(
         lambda c: _xla_equivalent(c, image_size, sigma, gamma, n_attr), coeffs
@@ -868,14 +929,19 @@ def rasterize_planes_pallas(
     sigma: float = 1.0,
     gamma: float = 1.0 / 40.0,
     presorted: bool = False,
+    config: RasterConfig | None = None,
 ) -> RasterOutput:
     """Rasterize prepared face planes with the Pallas TPU kernel.
 
     ``face_bbox`` (B, F, 4) [ymin, ymax, xmin, xmax] enables chunk culling;
     if None, bounds are conservatively infinite (no culling). With
     ``presorted`` the planes were built from ``sort_faces_by_y`` output and
-    packing skips the row permutation.
+    packing skips the row permutation. ``config`` pins the kernel schedule
+    (None = module/env defaults); callers that band-sorted the faces MUST
+    pass the same config they sorted with.
     """
+    if config is None:
+        config = default_config()
     rows, valid = planes.rows, planes.valid
     b, f, r, _ = rows.shape
     n_attr = r - 9  # user attrs + depth channel
@@ -890,10 +956,11 @@ def rasterize_planes_pallas(
             axis=-1,
         )
     coeffs, bounds = pack_sorted_planes(
-        planes, face_bbox, sigma, presorted=presorted
+        planes, face_bbox, sigma, face_chunk=config.face_chunk,
+        presorted=presorted,
     )
     sil, attr, vis = _rasterize_sorted(
-        coeffs, bounds, image_size, sigma, gamma, n_attr
+        coeffs, bounds, image_size, sigma, gamma, n_attr, config
     )
     return RasterOutput(
         sil=sil,

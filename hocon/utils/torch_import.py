@@ -63,14 +63,7 @@ def import_resnet_trunk(
         dst_s["mean"] = src(f"{torch_name}.running_mean").astype(np.float32)
         dst_s["var"] = src(f"{torch_name}.running_var").astype(np.float32)
 
-    stem = _conv_kernel(src("conv1.weight"))
-    if np.shape(params["conv_init"]["kernel"])[0] == 4 and stem.shape[0] == 7:
-        # Space-to-depth stem model: transform the 7x7/2 torchvision kernel
-        # to its exact 4x4/1 s2d equivalent (backbone.stem_kernel_to_s2d).
-        from hocon.models.backbone import stem_kernel_to_s2d
-
-        stem = np.asarray(stem_kernel_to_s2d(stem))
-    params["conv_init"]["kernel"] = stem
+    params["conv_init"]["kernel"] = _conv_kernel(src("conv1.weight"))
     set_bn(params["bn_init"], batch_stats["bn_init"], "bn1")
 
     # Flax auto-names block submodules after their class: BasicBlock_<i>

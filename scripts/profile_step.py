@@ -57,8 +57,9 @@ def main():
     p.add_argument("--res", type=int, default=256)
     p.add_argument("--batch", type=int, default=16)
     p.add_argument("--steps", type=int, default=30)
-    p.add_argument("--stem_s2d", action="store_true",
-                   help="A/B the space-to-depth ResNet stem")
+    p.add_argument("--obj_faces", type=int, default=0,
+                   help="isolated-raster mesh: add a UV-sphere object of "
+                        "~this many faces (the realistic-object workload)")
     args = p.parse_args()
 
     from hocon.utils.compile_cache import enable_compile_cache
@@ -93,7 +94,7 @@ def main():
     batch = jax.device_put(next(iter(loader)))
 
     model = HOCNet(with_object=True, freeze_batchnorm=True,
-                   dtype=jnp.bfloat16, stem_s2d=args.stem_s2d)
+                   dtype=jnp.bfloat16)
     optimizer = make_optimizer("adam", 1e-4)
     state = create_train_state(
         model, mano, optimizer, batch["ref"], jax.random.PRNGKey(0)
@@ -116,7 +117,7 @@ def main():
     # The warp step runs the trunk on 2*b images (ref + tgt jointly).
     from hocon.models.backbone import resnet18
 
-    trunk = resnet18(dtype=jnp.bfloat16, stem_s2d=args.stem_s2d)
+    trunk = resnet18(dtype=jnp.bfloat16)
     imgs = jnp.asarray(
         np.random.default_rng(1).uniform(-2, 2, (2 * b, res, res, 3)),
         jnp.float32,
@@ -153,22 +154,39 @@ def main():
           + mfu(trunk_fwd, (tvars["params"], imgs), t))
 
     # --- raster fwd / fwd+bwd on representative mesh ---
+    # A *posed* MANO hand, not random points: random verts under the real
+    # face connectivity make every face span the whole point blob, so the
+    # y/x chunk culling is inert and the isolated timing overstates the
+    # in-step raster cost ~4x (round-4 finding — see KERNELS.md).
+    from hocon.geometry.mano import mano_forward
+
     rng = np.random.default_rng(0)
-    n_hand = 778
-    hand = jnp.asarray(
-        rng.uniform(-0.08, 0.08, (b, n_hand, 3)), jnp.float32
-    ) + jnp.asarray([0.0, 0.0, 0.5])
+    hand, _ = mano_forward(
+        mano, jnp.zeros((b, 15)), jnp.zeros((b, 10)), jnp.zeros((b, 3)),
+        scale_mm=False,
+    )
+    hand = hand + jnp.asarray([0.0, 0.0, 0.5])
     faces_h = np.asarray(mano.faces)
-    obj = jnp.asarray(rng.uniform(-0.05, 0.05, (b, 8, 3)), jnp.float32) + jnp.asarray(
-        [0.0, 0.0, 0.55]
-    )
-    faces_o = np.asarray(
-        [[0, 1, 2], [0, 2, 3], [4, 5, 6], [4, 6, 7], [0, 1, 5], [0, 5, 4],
-         [2, 3, 7], [2, 7, 6], [1, 2, 6], [1, 6, 5], [0, 3, 7], [0, 7, 4]],
-        np.int32,
-    )
+    n_hand = hand.shape[1]
+    if args.obj_faces:
+        from hocon.data.synthetic import uv_sphere
+
+        sv, faces_o = uv_sphere(args.obj_faces)
+        sv = sv * 0.06 + np.asarray([0.04, 0.0, 0.55], np.float32)
+        obj = jnp.tile(jnp.asarray(sv)[None], (b, 1, 1))
+    else:
+        obj = jnp.asarray(
+            rng.uniform(-0.05, 0.05, (b, 8, 3)), jnp.float32
+        ) + jnp.asarray([0.0, 0.0, 0.55])
+        faces_o = np.asarray(
+            [[0, 1, 2], [0, 2, 3], [4, 5, 6], [4, 6, 7], [0, 1, 5],
+             [0, 5, 4], [2, 3, 7], [2, 7, 6], [1, 2, 6], [1, 6, 5],
+             [0, 3, 7], [0, 7, 4]],
+            np.int32,
+        )
     verts = jnp.concatenate([hand, obj], axis=1)
-    faces = np.concatenate([faces_h, faces_o + n_hand])
+    faces = np.concatenate([faces_h, np.asarray(faces_o) + n_hand])
+    print(f"raster mesh: {verts.shape[1]} verts / {faces.shape[0]} faces")
     faces_b = jnp.broadcast_to(
         jnp.asarray(faces)[None], (b,) + faces.shape
     )
@@ -186,7 +204,7 @@ def main():
     def raster_fwd(pix, zs, attrs):
         out = soft_rasterize(
             pix, zs, faces_b, attrs=attrs, image_size=(res, res),
-            backend="auto",
+            backend="auto", backface_cull=True,  # the warp step's default
         )
         return out.sil.sum() + out.attr.sum() + out.vis.sum()
 

@@ -1,13 +1,16 @@
 #!/bin/bash
-# One-shot TPU measurement batch for the round-3 open items. The axon
-# tunnel dies for hours at a time (CLAUDE.md), so every pending TPU
-# measurement is queued here behind a health gate and run sequentially
-# in one go the moment the tunnel is back:
-#   1. trivial-matmul probe (gate: tunnel alive and compiles not degraded)
-#   2. bench.py toy + --stem_s2d A/B
-#   3. bench.py --obj_faces 1280 (realistic) + --stem_s2d A/B
-#   4. profile_step decomposition (default and --stem_s2d) incl. trunk MFU
-#   5. banded-culling sweep at realistic face count
+# Standing queue of pending TPU measurements (CLAUDE.md: the axon tunnel
+# dies for hours at a time, so TPU work is queued here behind a health
+# gate and fired in one go when the tunnel is back — use
+# scripts/tpu_wait_and_batch.sh to poll-and-fire automatically).
+#
+# Current queue (round 4, after tpu_batch_r4 + _r4b ran):
+#   1. probe gate (trivial matmul = RTT; conv jit = compile service)
+#   2. fixed isolated-raster profile (posed MANO mesh; the old random-blob
+#      mesh defeated chunk culling and overstated raster ~4x) — toy and
+#      realistic face counts
+#   3. consistency-gain repro seeds 3-5 (adds power to the 3-seed round-4
+#      realistic result: -0.82/+1.07/+0.53 mm)
 # Usage: bash scripts/tpu_batch.sh [logfile]
 set -u
 LOG="${1:-/tmp/tpu_batch.log}"
@@ -23,26 +26,28 @@ run() {
 }
 
 echo "=== tpu_batch start $(date)" | tee -a "$LOG"
-if ! run probe 150 python -c "
+if ! run probe 660 python -c "
 import time, jax, jax.numpy as jnp
 t0 = time.time(); d = jax.devices(); print('devices', d, '%.1fs' % (time.time() - t0))
 t0 = time.time()
 x = jnp.ones((512, 512)); (x @ x).block_until_ready()
+print('matmul compile+run %.1fs' % (time.time() - t0))
+t0 = time.time()
+k = jnp.ones((3, 3, 64, 64), jnp.bfloat16)
+f = jax.jit(lambda a: jax.lax.conv_general_dilated(
+    jax.lax.conv_general_dilated(a, k, (1, 1), 'SAME',
+        dimension_numbers=('NHWC', 'HWIO', 'NHWC')),
+    k, (1, 1), 'SAME', dimension_numbers=('NHWC', 'HWIO', 'NHWC')).sum())
+f(jnp.ones((2, 64, 64, 64), jnp.bfloat16)).block_until_ready()
 dt = time.time() - t0
-print('matmul compile+run %.1fs' % dt)
-assert dt < 60, 'tunnel degraded'
+print('conv-stack compile+run %.1fs' % dt)
+assert dt < 90, 'compile service degraded'
 "; then
   echo "=== tunnel DOWN/degraded; aborting batch" | tee -a "$LOG"
   exit 1
 fi
 
-run bench-toy       1200 python bench.py
-run bench-toy-s2d   1200 python bench.py --stem_s2d
-run bench-real      1200 python bench.py --obj_faces 1280
-run bench-real-s2d  1200 python bench.py --obj_faces 1280 --stem_s2d
-run profile         1800 python scripts/profile_step.py
-run profile-s2d     1800 python scripts/profile_step.py --stem_s2d
-run sweep-banded    2400 python scripts/sweep_raster.py --obj_faces 1280 --cull \
-    --configs 32,8,256,0 32,8,256,2 32,8,256,4 32,8,128,4 16,8,256,4 64,8,256,2
-run consist-real    5400 python scripts/repro_synthetic_consistency.py 0 1 2 --obj_faces 1280
+run profile        2700 python scripts/profile_step.py
+run profile-real   2700 python scripts/profile_step.py --obj_faces 1280
+run repro-seeds345 5400 python scripts/repro_synthetic_consistency.py 3 4 5 --obj_faces 1280
 echo "=== tpu_batch done $(date)" | tee -a "$LOG"

@@ -1,8 +1,9 @@
 #!/bin/bash
-# Round-4 follow-on TPU batch (fire after tpu_batch_r3b.sh completes):
+# Round-4 follow-on TPU batch (fire after tpu_batch_r4.sh completes):
 #   1. trivial-matmul health gate
-#   2. profile_step decomposition (trunk MFU) — default + --stem_s2d
-#   3. realistic-object consistency-gain experiment (3 seeds, VERDICT r3 #3)
+#   2. banded-culling sweeps at realistic face count (re-run after the
+#      r4 batch's sweep crashed on a mid-edit module import)
+#   3. full-step A/B of the auto-selected banded schedule
 # Usage: bash scripts/tpu_batch_r4b.sh [logfile]
 set -u
 LOG="${1:-/tmp/tpu_batch_r4b.log}"
@@ -31,7 +32,14 @@ assert dt < 60, 'tunnel degraded'
   exit 1
 fi
 
-run profile       1200 python scripts/profile_step.py
-run profile-s2d   1200 python scripts/profile_step.py --stem_s2d
-run repro-real    3600 python scripts/repro_synthetic_consistency.py 0 1 2 --obj_faces 1280
+# Banded-culling sweep at realistic face count (re-run: the r4 batch's
+# sweep crashed on a mid-edit module import). Original 4 configs plus
+# occupancy-model-guided extras (scripts/analyze_occupancy.py predicts
+# LB=128 + banding wins ~20% at 2852 faces; FC16 close second):
+run sweep-banded  5400 python scripts/sweep_raster.py --obj_faces 1280 --cull \
+    --configs 32,8,256,0 32,8,256,2 32,8,256,4 32,8,128,4
+run sweep-extra   5400 python scripts/sweep_raster.py --obj_faces 1280 --cull \
+    --configs 32,8,128,0 32,8,128,2 16,8,128,4 16,8,128,2
+# A/B the auto-selected banded schedule inside the full train step:
+run bench-real-auto 2700 python bench.py --obj_faces 1280
 echo "=== tpu_batch_r4b done $(date)" | tee -a "$LOG"

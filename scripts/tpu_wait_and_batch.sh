@@ -1,11 +1,12 @@
 #!/bin/bash
 # Poll the tunnel's COMPILE service (a fresh conv jit — the trivial matmul
 # is server-cached and stays fast even when compiles crawl); when healthy,
-# fire scripts/tpu_batch_r4.sh. Usage:
-#   setsid nohup bash scripts/tpu_wait_and_batch.sh [poll_log] [batch_log] &
+# fire the given batch script. Usage:
+#   setsid nohup bash scripts/tpu_wait_and_batch.sh [batch_script] [poll_log] [batch_log] &
 set -u
-POLL_LOG="${1:-/tmp/tpu_poll.log}"
-BATCH_LOG="${2:-/tmp/tpu_batch_r4.log}"
+BATCH="${1:-scripts/tpu_batch_r4.sh}"
+POLL_LOG="${2:-/tmp/tpu_poll.log}"
+BATCH_LOG="${3:-/tmp/tpu_batch.log}"
 cd "$(dirname "$0")/.."
 
 while true; do
@@ -31,7 +32,7 @@ EOF
   echo "probe rc=$rc" >> "$POLL_LOG"
   if [ "$rc" -eq 0 ]; then
     echo "=== compile service healthy; launching batch $(date)" >> "$POLL_LOG"
-    bash scripts/tpu_batch_r4.sh "$BATCH_LOG"
+    bash "$BATCH" "$BATCH_LOG"
     echo "=== batch finished rc=$? $(date)" >> "$POLL_LOG"
     exit 0
   fi

@@ -144,76 +144,3 @@ def test_overfit_one_batch(mano_model):
         params, opt_state, loss = step(params, opt_state)
         losses.append(float(loss))
     assert losses[-1] < losses[0] * 0.2, (losses[0], losses[-1])
-
-
-def test_stem_s2d_exact_equivalence():
-    """The space-to-depth stem (2x2 s2d + 4x4/1 conv, stem_kernel_to_s2d
-    weights) must reproduce the standard 7x7/2 stem EXACTLY (same math,
-    relaid out for the MXU) — full-trunk outputs compared."""
-    from hocon.models.backbone import stem_kernel_to_s2d
-
-    rng = np.random.default_rng(0)
-    x = jnp.asarray(rng.normal(size=(2, 64, 64, 3)).astype(np.float32))
-
-    std = resnet18()
-    s2d = resnet18(stem_s2d=True)
-    v_std = std.init(jax.random.PRNGKey(1), x)
-    # Same params everywhere; only the stem kernel is transformed.
-    p2 = {"params": dict(v_std["params"]),
-          "batch_stats": v_std["batch_stats"]}
-    p2["params"]["conv_init"] = {
-        "kernel": stem_kernel_to_s2d(v_std["params"]["conv_init"]["kernel"])
-    }
-    out_std = std.apply(v_std, x)
-    out_s2d = s2d.apply(p2, x)
-    np.testing.assert_allclose(
-        np.asarray(out_s2d), np.asarray(out_std), rtol=1e-5, atol=1e-5
-    )
-
-
-def test_stem_s2d_torch_import_transform():
-    """import_resnet_trunk detects an s2d trunk and transforms conv1."""
-    from hocon.models.backbone import stem_kernel_to_s2d
-    from hocon.utils.torch_import import import_resnet_trunk
-
-    rng = np.random.default_rng(1)
-    sd = {}
-    w7 = rng.normal(size=(64, 3, 7, 7)).astype(np.float32)
-    sd["conv1.weight"] = w7
-    sd["bn1.weight"] = np.ones(64, np.float32)
-    sd["bn1.bias"] = np.zeros(64, np.float32)
-    sd["bn1.running_mean"] = np.zeros(64, np.float32)
-    sd["bn1.running_var"] = np.ones(64, np.float32)
-    layers = [(1, 64), (2, 128), (3, 256), (4, 512)]
-    cin = 64
-    for stage, cout in layers:
-        for b in range(2):
-            t = f"layer{stage}.{b}"
-            c1_in = cin if b == 0 else cout
-            sd[f"{t}.conv1.weight"] = rng.normal(
-                size=(cout, c1_in, 3, 3)).astype(np.float32)
-            sd[f"{t}.conv2.weight"] = rng.normal(
-                size=(cout, cout, 3, 3)).astype(np.float32)
-            for bn in ("bn1", "bn2"):
-                sd[f"{t}.{bn}.weight"] = np.ones(cout, np.float32)
-                sd[f"{t}.{bn}.bias"] = np.zeros(cout, np.float32)
-                sd[f"{t}.{bn}.running_mean"] = np.zeros(cout, np.float32)
-                sd[f"{t}.{bn}.running_var"] = np.ones(cout, np.float32)
-            if b == 0 and stage > 1:
-                sd[f"{t}.downsample.0.weight"] = rng.normal(
-                    size=(cout, cin, 1, 1)).astype(np.float32)
-                sd[f"{t}.downsample.1.weight"] = np.ones(cout, np.float32)
-                sd[f"{t}.downsample.1.bias"] = np.zeros(cout, np.float32)
-                sd[f"{t}.downsample.1.running_mean"] = np.zeros(cout, np.float32)
-                sd[f"{t}.downsample.1.running_var"] = np.ones(cout, np.float32)
-        cin = cout
-
-    model = resnet18(stem_s2d=True)
-    x = jnp.zeros((1, 64, 64, 3))
-    variables = model.init(jax.random.PRNGKey(0), x)
-    params, stats = import_resnet_trunk(
-        sd, variables["params"], variables["batch_stats"])
-    expect = np.transpose(w7, (2, 3, 1, 0))
-    np.testing.assert_allclose(
-        params["conv_init"]["kernel"],
-        np.asarray(stem_kernel_to_s2d(jnp.asarray(expect))), rtol=1e-6)

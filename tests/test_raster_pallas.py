@@ -113,8 +113,9 @@ def test_pallas_backward_kernel_matches_xla_vjp(mano_model):
     coeffs, ybounds = RP.pack_sorted_planes(planes, bbox, sigma)
 
     rng = np.random.default_rng(0)
+    cfg = RP.default_config()
     out, residual = RP._rasterize_sorted_fwd(
-        coeffs, ybounds, hw, sigma, gamma, n_attr
+        coeffs, ybounds, hw, sigma, gamma, n_attr, cfg
     )
     # Restrict incoming grads to pixels with non-trivial coverage: outside,
     # the culled kernel and the unculled XLA function are different
@@ -127,8 +128,12 @@ def test_pallas_backward_kernel_matches_xla_vjp(mano_model):
         ),
         jnp.asarray((rng.standard_normal(out[2].shape) * sup).astype(np.float32)),
     )
-    d_kernel, _ = RP._rasterize_sorted_bwd(hw, sigma, gamma, n_attr, residual, grads)
-    d_xla, _ = RP._rasterize_sorted_bwd_xla(hw, sigma, gamma, n_attr, residual, grads)
+    d_kernel, _ = RP._rasterize_sorted_bwd(
+        hw, sigma, gamma, n_attr, cfg, residual, grads
+    )
+    d_xla, _ = RP._rasterize_sorted_bwd_xla(
+        hw, sigma, gamma, n_attr, cfg, residual, grads
+    )
     dk = np.asarray(d_kernel)
     dx = np.asarray(d_xla)
     scale = np.abs(dx).max()
@@ -236,7 +241,7 @@ def test_backward_vmem_guard_raises_for_huge_meshes():
     Mosaic scoped-allocation failure (advisor r2)."""
     import pytest
 
-    from hocon.render.raster_pallas import _backward_pallas
+    from hocon.render.raster_pallas import _backward_pallas, default_config
 
     b, fp, r3, hw = 1, 200_000, 9, 16
     coeffs = np.zeros((b, fp, r3), np.float32)
@@ -253,8 +258,22 @@ def test_backward_vmem_guard_raises_for_huge_meshes():
     with pytest.raises(ValueError, match="VMEM"):
         _backward_pallas(
             (coeffs, bounds, sil, attr, vis, mden), grads, (hw, hw),
-            sigma=0.8, gamma=0.05, n_attr=3,
+            sigma=0.8, gamma=0.05, n_attr=3, config=default_config(),
         )
+
+
+def test_auto_config_policy():
+    """The face-count-adaptive schedule: banded 128-lane split at high
+    face counts, the swept single-level default otherwise; HOCON_* env
+    pins override (exercised by the subprocess test below, which relies
+    on exactly that)."""
+    from hocon.render import raster_pallas as RP
+
+    assert RP.auto_config(2852, 256) == RP.RasterConfig(32, 128, 4)
+    assert RP.auto_config(2048, 256) == RP.RasterConfig(32, 128, 4)
+    # Toy/hand-only scale and narrow images keep the default schedule.
+    assert RP.auto_config(1600, 256) == RP.default_config()
+    assert RP.auto_config(4000, 128) == RP.default_config()
 
 
 def test_banded_two_level_culling_matches_xla():
