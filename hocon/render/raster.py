@@ -428,16 +428,9 @@ def soft_rasterize(
         # differentiable (B, F, R, 3) plane rows are then born in sorted
         # order, so packing needs no take_along_axis on them (and the
         # backward no scatter) — the sort permutes only integer metadata.
-        # With two-level culling enabled, a secondary x-sort within y-bands
-        # tightens per-chunk x-bboxes (see raster_pallas.BAND_CHUNKS).
-        # The schedule adapts to the (static) face count: high-face-count
-        # scenes switch to 128-column lane blocks + banded x-culling
-        # (raster_pallas.auto_config; env HOCON_* constants pin it).
-        cfg = raster_pallas.auto_config(faces.shape[-2], image_size[1])
-        band_faces = cfg.band_chunks * cfg.face_chunk
+        cfg = raster_pallas.default_config()
         faces_sorted, face_bbox = sort_faces_by_y(
-            verts_pix, faces, band_faces=band_faces,
-            backface_cull=backface_cull,
+            verts_pix, faces, backface_cull=backface_cull,
         )
         planes = face_planes(verts_pix, zbar, faces_sorted, attrs,
                              backface_cull=backface_cull)

@@ -65,64 +65,34 @@ ROW_BLOCK = int(os.environ.get("HOCON_ROW_BLOCK", "8"))
 # the width, so the x test culls most chunk/block pairs) — and a single
 # 512-wide block does not even fit the backward's scoped VMEM.
 LANE_BLOCK = int(os.environ.get("HOCON_LANE_BLOCK", "256"))
-# Two-level chunk culling (VERDICT r2 #6): faces are y-sorted, grouped into
-# BANDS of BAND_CHUNKS consecutive chunks, and re-sorted by x-center WITHIN
-# each band. Chunks in a band then carry tight x-bboxes and the hitting
-# chunks per lane block form a contiguous index range, so the kernel loops
-# [band range for this row block] x [chunk range for this lane block]
-# instead of every y-overlapping chunk. The trade: per-chunk y-spans widen
-# to the band's y-span (y culling coarsens to band granularity) in exchange
-# for x culling that actually fires — so it pays at high face counts and
-# narrow lane blocks. 0 disables (single-level y ranges, the round-2
-# scheme).
-BAND_CHUNKS = int(os.environ.get("HOCON_BAND_CHUNKS", "0"))
-
-# True when a sweep pinned the schedule via HOCON_* env vars — the
-# face-count-adaptive auto policy then stands down so sweeps measure
-# exactly what they asked for.
-_ENV_PINNED = any(
-    k in os.environ
-    for k in ("HOCON_FACE_CHUNK", "HOCON_LANE_BLOCK", "HOCON_BAND_CHUNKS")
-)
+# NOTE (round 4): a two-level banded x-culling scheme (x-sort within
+# y-bands + per-(band, lane-block) chunk ranges) was implemented and swept
+# on v5e-1 at the realistic face count (2852 faces, 256px, backface cull
+# on): EVERY banded / lane-split config lost to the single-level default —
+# 21.40 ms fwd+bwd for (FC32, LB256, no bands) vs 22.6-28.5 ms for bands
+# of 2-4 chunks at LB 256/128 and FC 16/32 — and the full train step
+# regressed 393.9 -> 365.5 pairs/s. The CPU occupancy model
+# (scripts/analyze_occupancy.py) had predicted 0.64-0.78x face-pixel
+# work, but per-program fixed costs, the extra bounds machinery, and the
+# coarsened y-culling dominate the saved block evaluations at this scale.
+# The scheme was deleted (measurements/tpu_batch_r4b.log); don't re-add
+# without a measurement at a much larger face count or image width.
 
 
 class RasterConfig(typing.NamedTuple):
     """Kernel schedule (hashable — used as a jit-static / nondiff arg).
 
     face_chunk: faces per culling chunk; lane_block: max pixel-column
-    block per program; band_chunks: chunks per x-sorted band (0 = single-
-    level y-interval culling).
+    block per program.
     """
 
     face_chunk: int
     lane_block: int
-    band_chunks: int
 
 
 def default_config() -> RasterConfig:
     """The module-constant (env-overridable) schedule."""
-    return RasterConfig(FACE_CHUNK, LANE_BLOCK, BAND_CHUNKS)
-
-
-def auto_config(n_faces: int, width: int) -> RasterConfig:
-    """Face-count-adaptive schedule (trace-time: n_faces/width are static).
-
-    Policy: at high face counts switch to the 2x128 lane split + banded
-    x-culling — the CPU occupancy model (scripts/analyze_occupancy.py,
-    which replays the exact chunk-interval math on the bench's realistic
-    scene) predicts 0.78x face-pixel work for (32, 128, 4) and 0.64x for
-    (16, 128, 4) at 2.85k faces, vs a ~5-10% LANE_BLOCK-split penalty
-    measured at hand-only scale in round 2 (RESULTS.md 512px row). The
-    threshold and the exact config are validated/tuned by the on-TPU
-    sweep in scripts/sweep_raster.py (see KERNELS.md for the measured
-    table). Env-pinned constants (HOCON_*) override everything so sweeps
-    measure exactly what they ask for.
-    """
-    if _ENV_PINNED:
-        return default_config()
-    if n_faces >= 2048 and width >= 256:
-        return RasterConfig(face_chunk=32, lane_block=128, band_chunks=4)
-    return RasterConfig(FACE_CHUNK, LANE_BLOCK, BAND_CHUNKS)
+    return RasterConfig(FACE_CHUNK, LANE_BLOCK)
 
 
 def _lane_block(wp: int, lane_block: int = LANE_BLOCK) -> int:
@@ -144,7 +114,6 @@ def _round_up(x: int, m: int) -> int:
 def sort_faces_by_y(
     verts_pix: jnp.ndarray,
     faces: jnp.ndarray,
-    band_faces: int = 0,
     backface_cull: bool = False,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Sort INT face indices by screen-space y-center (pure scheduling).
@@ -160,11 +129,6 @@ def sort_faces_by_y(
     setting) sort last so inert chunks cluster and cull in one bounds
     check.
 
-    ``band_faces`` > 0 applies a SECONDARY x-center sort within consecutive
-    bands of that many faces of the y-order (two-level culling — see
-    ``BAND_CHUNKS``). Band boundaries align with chunk boundaries as long
-    as ``band_faces`` is a multiple of the face chunk.
-
     Returns:
       faces_sorted: (B, F, 3) int32.
       face_bbox: (B, F, 4) [ymin, ymax, xmin, xmax] in the sorted order.
@@ -179,27 +143,6 @@ def sort_faces_by_y(
     ycenter = jnp.where(valid, 0.5 * (ymin + ymax), jnp.inf)
     ycenter = jnp.where(jnp.isnan(ycenter), jnp.inf, ycenter)
     order = jnp.argsort(ycenter, axis=1)  # (B, F)
-    if band_faces:
-        b, f = order.shape
-        xmin = jnp.min(fv[..., 0], axis=-1)
-        xmax = jnp.max(fv[..., 0], axis=-1)
-        xc = jnp.where(valid, 0.5 * (xmin + xmax), jnp.inf)
-        xc = jnp.where(jnp.isnan(xc), jnp.inf, xc)
-        xc_y = jnp.take_along_axis(xc, order, axis=1)
-        fpd = _round_up(f, band_faces)
-        # Pad keys with +inf: pads sort to the END of the final band
-        # (stable sort, and real +inf keys have smaller positions), so the
-        # first f slots of the flattened banded order are exactly the real
-        # entries.
-        xs = jnp.pad(xc_y, ((0, 0), (0, fpd - f)), constant_values=jnp.inf)
-        nbands = fpd // band_faces
-        sub = jnp.argsort(xs.reshape(b, nbands, band_faces), axis=2)
-        band_perm = (
-            sub + (jnp.arange(nbands) * band_faces)[None, :, None]
-        ).reshape(b, fpd)[:, :f]
-        order = jnp.take_along_axis(
-            jnp.pad(order, ((0, 0), (0, fpd - f))), band_perm, axis=1
-        )
     faces_sorted = jnp.take_along_axis(faces, order[:, :, None], axis=1)
     bbox = jnp.stack(
         [ymin, ymax, jnp.min(fv[..., 0], axis=-1), jnp.max(fv[..., 0], axis=-1)],
@@ -305,69 +248,8 @@ def _chunk_ranges(bounds: jnp.ndarray, hp: int) -> jnp.ndarray:
     return jnp.stack([ks, ke], axis=-1)  # (B, NYB, 2) int32
 
 
-def _chunk_ranges_2d(
-    bounds: jnp.ndarray, hp: int, wp: int, xb: int, band_chunks: int
-) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Two-level chunk ranges for band-x-sorted face order.
-
-    Returns:
-      brange: (B, NYB, 2) int32 — [first, last) BAND index per row block
-        (band y-interval = union of its chunks').
-      xrange: (B, NB, NXB, 2) int32 — GLOBAL [first, last) chunk index per
-        (band, lane block); contiguous because chunks within a band are
-        x-sorted. Bands are padded to a whole number with empty intervals
-        (zero-length ranges).
-    """
-    b, nc, _ = bounds.shape
-    nbp = _round_up(nc, band_chunks)
-    pad = jnp.broadcast_to(
-        jnp.asarray([jnp.inf, -jnp.inf, jnp.inf, -jnp.inf], bounds.dtype),
-        (b, nbp - nc, 4),
-    )
-    bb = jnp.concatenate([bounds, pad], axis=1).reshape(
-        b, nbp // band_chunks, band_chunks, 4
-    )
-    nb = nbp // band_chunks
-    band_ymin = jnp.min(bb[..., 0], axis=2)  # (B, NB)
-    band_ymax = jnp.max(bb[..., 1], axis=2)
-
-    nyb = hp // ROW_BLOCK
-    y0 = jnp.arange(nyb, dtype=jnp.float32)[None, None, :] * ROW_BLOCK
-    ov = jnp.logical_and(
-        y0 + ROW_BLOCK > band_ymin[..., None], y0 < band_ymax[..., None]
-    )  # (B, NB, NYB)
-    any_b = jnp.any(ov, axis=1)
-    first = jnp.argmax(ov, axis=1).astype(jnp.int32)
-    last = (nb - 1 - jnp.argmax(ov[:, ::-1], axis=1)).astype(jnp.int32)
-    brange = jnp.stack(
-        [jnp.where(any_b, first, 0), jnp.where(any_b, last + 1, 0)], axis=-1
-    )
-
-    nxb = wp // xb
-    x0 = jnp.arange(nxb, dtype=jnp.float32)[None, None, None, :] * xb
-    ovx = jnp.logical_and(
-        x0 + xb > bb[..., 2][..., None],
-        x0 < bb[..., 3][..., None],
-    )  # (B, NB, band_chunks, NXB)
-    any_c = jnp.any(ovx, axis=2)  # (B, NB, NXB)
-    cfirst = jnp.argmax(ovx, axis=2).astype(jnp.int32)
-    clast = (band_chunks - 1 - jnp.argmax(ovx[:, :, ::-1], axis=2)).astype(
-        jnp.int32
-    )
-    base = (jnp.arange(nb, dtype=jnp.int32) * band_chunks)[None, :, None]
-    xrange = jnp.stack(
-        [
-            jnp.where(any_c, base + cfirst, 0),
-            jnp.where(any_c, base + clast + 1, 0),
-        ],
-        axis=-1,
-    )  # (B, NB, NXB, 2)
-    return brange, xrange
-
-
 def _raster_kernel(
-    krange_ref,  # SMEM (1, NYB, 2) int32 — chunk (or band) range per row block
-    xrange_ref,  # SMEM (1, NB, NXB, 2) int32 — banded mode only (else dummy)
+    krange_ref,  # SMEM (1, NYB, 2) int32 — chunk range per row block
     bounds_ref,  # SMEM (1, NC, 4)
     coeffs_ref,  # VMEM (1, Fp, R*3)
     sil_ref,  # VMEM (1, RB, XB)
@@ -381,7 +263,6 @@ def _raster_kernel(
     face_chunk: int,
     sigma: float,
     gamma: float,
-    banded: bool = False,
 ):
     rb = ROW_BLOCK
     y_base = (pl.program_id(1) * rb).astype(jnp.float32)
@@ -465,23 +346,9 @@ def _raster_kernel(
         return 0
 
     yi = pl.program_id(1)
-    if banded:
-        xi = pl.program_id(2)
-
-        def band_body(bd, _):
-            jax.lax.fori_loop(
-                xrange_ref[0, bd, xi, 0], xrange_ref[0, bd, xi, 1],
-                chunk_body, 0,
-            )
-            return 0
-
-        jax.lax.fori_loop(
-            krange_ref[0, yi, 0], krange_ref[0, yi, 1], band_body, 0
-        )
-    else:
-        jax.lax.fori_loop(
-            krange_ref[0, yi, 0], krange_ref[0, yi, 1], chunk_body, 0
-        )
+    jax.lax.fori_loop(
+        krange_ref[0, yi, 0], krange_ref[0, yi, 1], chunk_body, 0
+    )
 
     log_neg = acc_ref[0]
     m = acc_ref[1]
@@ -517,7 +384,6 @@ def _forward_padded(coeffs, bounds, image_size, sigma, gamma, n_attr,
             "(budget ~12 MB); decimate the mesh (--decimate_objects_to)"
         )
 
-    banded = config.band_chunks > 0
     kernel = functools.partial(
         _raster_kernel,
         n_attr=n_attr,
@@ -525,25 +391,14 @@ def _forward_padded(coeffs, bounds, image_size, sigma, gamma, n_attr,
         face_chunk=config.face_chunk,
         sigma=sigma,
         gamma=gamma,
-        banded=banded,
     )
     nyb = hp // ROW_BLOCK
-    if banded:
-        krange, xrange = _chunk_ranges_2d(
-            bounds, hp, wp, xb, config.band_chunks
-        )
-    else:
-        krange = _chunk_ranges(bounds, hp)
-        xrange = jnp.zeros((b, 1, 1, 2), jnp.int32)
-    nbk = xrange.shape[1]
-    nxbk = xrange.shape[2]
+    krange = _chunk_ranges(bounds, hp)
     return pl.pallas_call(
         kernel,
         grid=(b, nyb, wp // xb),
         in_specs=[
             pl.BlockSpec((1, nyb, 2), lambda bi, yi, xi: (bi, 0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, nbk, nxbk, 2), lambda bi, yi, xi: (bi, 0, 0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, nc, 4), lambda bi, yi, xi: (bi, 0, 0),
                          memory_space=pltpu.SMEM),
@@ -572,7 +427,7 @@ def _forward_padded(coeffs, bounds, image_size, sigma, gamma, n_attr,
             pltpu.VMEM((n_attr + 3, ROW_BLOCK, xb), jnp.float32)
         ],
         interpret=interpret,
-    )(krange, xrange, bounds, coeffs)
+    )(krange, bounds, coeffs)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
@@ -596,8 +451,7 @@ def _rasterize_sorted_fwd(coeffs, bounds, image_size, sigma, gamma, n_attr,
 
 
 def _raster_bwd_kernel(
-    krange_ref,  # SMEM (1, NYB, 2) int32 — chunk (or band) range per row block
-    xrange_ref,  # SMEM (1, NB, NXB, 2) int32 — banded mode only (else dummy)
+    krange_ref,  # SMEM (1, NYB, 2) int32 — chunk range per row block
     bounds_ref,  # SMEM (1, NC, 4)
     coeffs_ref,  # VMEM (1, Fp, 3R)       block @ (b,) — resident across yi/xi
     sil_ref,  # VMEM (1, RB, XB)          @ (b, yi, xi)
@@ -614,7 +468,6 @@ def _raster_bwd_kernel(
     face_chunk: int,
     sigma: float,
     gamma: float,
-    banded: bool = False,
 ):
     """Gradient of the soft raster w.r.t. the face-plane coefficients.
 
@@ -771,22 +624,9 @@ def _raster_bwd_kernel(
 
         return 0
 
-    if banded:
-
-        def band_body(bd, _):
-            jax.lax.fori_loop(
-                xrange_ref[0, bd, xi, 0], xrange_ref[0, bd, xi, 1],
-                chunk_body, 0,
-            )
-            return 0
-
-        jax.lax.fori_loop(
-            krange_ref[0, yi, 0], krange_ref[0, yi, 1], band_body, 0
-        )
-    else:
-        jax.lax.fori_loop(
-            krange_ref[0, yi, 0], krange_ref[0, yi, 1], chunk_body, 0
-        )
+    jax.lax.fori_loop(
+        krange_ref[0, yi, 0], krange_ref[0, yi, 1], chunk_body, 0
+    )
 
 
 def _backward_pallas(residual, grads, image_size, sigma, gamma, n_attr,
@@ -820,7 +660,6 @@ def _backward_pallas(residual, grads, image_size, sigma, gamma, n_attr,
             "mesh (--decimate_objects_to) to fit"
         )
     xb = _lane_block(wp, config.lane_block)
-    banded = config.band_chunks > 0
     kernel = functools.partial(
         _raster_bwd_kernel,
         n_attr=n_attr,
@@ -828,7 +667,6 @@ def _backward_pallas(residual, grads, image_size, sigma, gamma, n_attr,
         face_chunk=config.face_chunk,
         sigma=sigma,
         gamma=gamma,
-        banded=banded,
     )
     rbk = ROW_BLOCK
     img_spec = pl.BlockSpec((1, rbk, xb), lambda bi, yi, xi: (bi, yi, xi),
@@ -838,21 +676,12 @@ def _backward_pallas(residual, grads, image_size, sigma, gamma, n_attr,
         memory_space=pltpu.VMEM,
     )
     nyb = hp // rbk
-    if banded:
-        krange, xrange = _chunk_ranges_2d(
-            bounds, hp, wp, xb, config.band_chunks
-        )
-    else:
-        krange = _chunk_ranges(bounds, hp)
-        xrange = jnp.zeros((b, 1, 1, 2), jnp.int32)
-    nbk, nxbk = xrange.shape[1], xrange.shape[2]
+    krange = _chunk_ranges(bounds, hp)
     dcoeffs = pl.pallas_call(
         kernel,
         grid=(b, nyb, wp // xb),
         in_specs=[
             pl.BlockSpec((1, nyb, 2), lambda bi, yi, xi: (bi, 0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, nbk, nxbk, 2), lambda bi, yi, xi: (bi, 0, 0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, nc, 4), lambda bi, yi, xi: (bi, 0, 0),
                          memory_space=pltpu.SMEM),
@@ -877,8 +706,7 @@ def _backward_pallas(residual, grads, image_size, sigma, gamma, n_attr,
         ),
         out_shape=jax.ShapeDtypeStruct((b, fp, r3), jnp.float32),
         interpret=interpret,
-    )(krange, xrange, bounds, coeffs, sil, attr, vis, mden, g_sil, g_attr,
-      g_vis)
+    )(krange, bounds, coeffs, sil, attr, vis, mden, g_sil, g_attr, g_vis)
     return dcoeffs
 
 
@@ -937,8 +765,7 @@ def rasterize_planes_pallas(
     if None, bounds are conservatively infinite (no culling). With
     ``presorted`` the planes were built from ``sort_faces_by_y`` output and
     packing skips the row permutation. ``config`` pins the kernel schedule
-    (None = module/env defaults); callers that band-sorted the faces MUST
-    pass the same config they sorted with.
+    (None = module/env defaults).
     """
     if config is None:
         config = default_config()

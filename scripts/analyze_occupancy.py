@@ -5,10 +5,20 @@ The kernel's cost is ~ sum over grid programs of
 (`_raster_kernel`: skipped chunks cost a scalar bounds read + branch; hit
 chunks evaluate the full (FACE_CHUNK, ROW_BLOCK, LANE_BLOCK) pixel block).
 This script replays the exact scheduling math (sort_faces_by_y + the
-pack_sorted_planes chunk bounds + _chunk_ranges/_chunk_ranges_2d interval
-logic) on the bench's realistic scene geometry and reports, per config,
-the total face-pixel block work and loop iterations — a hardware-free
-predictor for sweeps (rank configs here, measure the top few on the TPU).
+pack_sorted_planes chunk bounds + _chunk_ranges interval logic) on the
+bench's realistic scene geometry and reports, per config, the total
+face-pixel block work and loop iterations.
+
+VALIDATION CAVEAT (round 4, v5e-1): the model's face-pixel-work metric
+ANTI-correlated with measured wall time for the banded/lane-split
+schedules it was built to rank — it predicted 0.64-0.78x work for banded
+128-lane configs at 2.85k faces, but every such config measured 5-33%
+SLOWER than the single-level (FC32, LB256) default, and the full train
+step regressed 7% (measurements/tpu_batch_r4b.log). Per-program fixed
+costs, SMEM bounds machinery, and VMEM-block revisits dominate at this
+scale and are not modeled. Treat the output as a lower-bound intuition
+for *block-evaluation* work only — never promote a schedule from this
+model without an on-TPU sweep (scripts/sweep_raster.py).
 
 Run on CPU:  env -u PALLAS_AXON_POOL_IPS JAX_PLATFORMS=cpu \
              python scripts/analyze_occupancy.py [--obj_faces 1280]
@@ -41,15 +51,16 @@ def chunk_bounds(bbox, valid, face_chunk, margin):
     return np.stack([cymin, cymax, cxmin, cxmax], axis=-1)  # (B, NC, 4)
 
 
-def model_cost(bounds, hp, wp, row_block, lane_block, band_chunks):
+def model_cost(bounds, hp, wp, row_block, lane_block):
     """Returns (hit_blocks, loop_iters) summed over the whole grid.
 
     hit_blocks counts (program, chunk) pairs whose pl.when body runs;
-    loop_iters counts fori_loop iterations (hit or skipped).
+    loop_iters counts fori_loop iterations (hit or skipped) — the
+    single-level per-row-block [first, last) interval of _chunk_ranges.
     """
     b, nc, _ = bounds.shape
     xb = lane_block if wp <= lane_block else 128
-    nyb, nxb = hp // row_block, wp // (lane_block if wp <= lane_block else 128)
+    nyb, nxb = hp // row_block, wp // xb
     y0 = np.arange(nyb)[None, None, :] * row_block  # (1, 1, NYB)
     x0 = np.arange(nxb)[None, None, :] * xb
 
@@ -58,65 +69,11 @@ def model_cost(bounds, hp, wp, row_block, lane_block, band_chunks):
     # hit = chunk body actually runs for (b, chunk, yblock, xblock)
     hit = ov_y[:, :, :, None] & ov_x[:, :, None, :]
 
-    if band_chunks == 0:
-        # single-level: per row block loop [first, last) over y-overlap.
-        any_k = ov_y.any(axis=1)  # (B, NYB)
-        first = np.argmax(ov_y, axis=1)
-        last = nc - 1 - np.argmax(ov_y[:, ::-1], axis=1)
-        iters = np.where(any_k, last - first + 1, 0).sum() * nxb
-        return int(hit.sum()), int(iters)
-
-    # banded: bands of band_chunks chunks; per row block a band interval,
-    # per (band, lane block) a chunk interval (x-sorted within bands).
-    nbp = -(-nc // band_chunks) * band_chunks
-    pad = np.broadcast_to(
-        np.array([np.inf, -np.inf, np.inf, -np.inf]), (b, nbp - nc, 4)
-    )
-    bb = np.concatenate([bounds, pad], axis=1).reshape(
-        b, nbp // band_chunks, band_chunks, 4
-    )
-    nb = nbp // band_chunks
-    band_ymin, band_ymax = bb[..., 0].min(2), bb[..., 1].max(2)  # (B, NB)
-    ov_b = (y0 + row_block > band_ymin[..., None]) & (
-        y0 < band_ymax[..., None]
-    )  # (B, NB, NYB)
-
-    ovx = (x0 + xb > bb[..., 2][..., None]) & (
-        x0 < bb[..., 3][..., None]
-    )  # (B, NB, band_chunks, NXB)
-    any_c = ovx.any(axis=2)
-    cfirst = np.argmax(ovx, axis=2)
-    clast = band_chunks - 1 - np.argmax(ovx[:, :, ::-1], axis=2)
-    clen = np.where(any_c, clast - cfirst + 1, 0)  # (B, NB, NXB)
-
-    # iterations: for each (yblock, xblock) program, sum of clen over the
-    # row block's band interval.
-    any_b = ov_b.any(axis=1)
-    bfirst = np.argmax(ov_b, axis=1)
-    blast = nb - 1 - np.argmax(ov_b[:, ::-1], axis=1)
-    iters = 0
-    hits = 0
-    # hit in banded mode: the chunk's own y/x test still gates the body,
-    # but only chunks inside [bfirst, blast] x [cfirst, clast] are visited.
-    band_of_chunk = np.arange(nc) // band_chunks
-    chunk_in_band = np.arange(nc) % band_chunks
-    for bi in range(b):
-        for yi in range(nyb):
-            if not any_b[bi, yi]:
-                continue
-            bands = np.arange(bfirst[bi, yi], blast[bi, yi] + 1)
-            for xi in range(nxb):
-                iters += clen[bi, bands, xi].sum()
-                # chunks visited: band in interval AND chunk index within
-                # that band's [cfirst, clast] for this lane block.
-                vis = (
-                    (band_of_chunk[:, None] == bands[None, :]).any(1)
-                    & (chunk_in_band >= cfirst[bi, band_of_chunk, xi])
-                    & (chunk_in_band <= clast[bi, band_of_chunk, xi])
-                    & any_c[bi, band_of_chunk, xi]
-                )
-                hits += int((vis & hit[bi, :, yi, xi]).sum())
-    return hits, int(iters)
+    any_k = ov_y.any(axis=1)  # (B, NYB)
+    first = np.argmax(ov_y, axis=1)
+    last = nc - 1 - np.argmax(ov_y[:, ::-1], axis=1)
+    iters = np.where(any_k, last - first + 1, 0).sum() * nxb
+    return int(hit.sum()), int(iters)
 
 
 def main():
@@ -164,31 +121,27 @@ def main():
     print(f"scene: {faces.shape[1]} faces, {res}px, batch {args.batch}")
 
     header = (
-        f"{'FC':>3} {'RB':>3} {'LB':>4} {'BC':>3} | "
+        f"{'FC':>3} {'RB':>3} {'LB':>4} | "
         f"{'Mface-pix-evals':>15} {'iters':>8} {'rel':>6}"
     )
     print(header)
     base_work = None
     for fc in (16, 32, 64):
         for lb in (256, 128):
-            for bc in (0, 2, 4, 8):
-                band_faces = bc * fc
-                fs, bbox = sort_faces_by_y(
-                    vp, faces, band_faces=band_faces, backface_cull=True
-                )
-                fv = gather_faces(vp, fs)
-                valid = np.asarray(face_valid(fv, True))
-                bounds = chunk_bounds(
-                    np.asarray(bbox), valid, fc, CUTOFF_SIGMAS * 1.0
-                )
-                rb = 8
-                hits, iters = model_cost(bounds, hp, wp, rb, lb, bc)
-                work = hits * fc * rb * min(lb, wp)  # face-pixel evals
-                if base_work is None and fc == 32 and lb == 256 and bc == 0:
-                    base_work = work
-                rel = work / base_work if base_work else float("nan")
-                print(f"{fc:>3} {rb:>3} {min(lb, wp):>4} {bc:>3} | "
-                      f"{work / 1e6:>15.1f} {iters:>8} {rel:>6.2f}")
+            fs, bbox = sort_faces_by_y(vp, faces, backface_cull=True)
+            fv = gather_faces(vp, fs)
+            valid = np.asarray(face_valid(fv, True))
+            bounds = chunk_bounds(
+                np.asarray(bbox), valid, fc, CUTOFF_SIGMAS * 1.0
+            )
+            rb = 8
+            hits, iters = model_cost(bounds, hp, wp, rb, lb)
+            work = hits * fc * rb * min(lb, wp)  # face-pixel evals
+            if base_work is None and fc == 32 and lb == 256:
+                base_work = work
+            rel = work / base_work if base_work else float("nan")
+            print(f"{fc:>3} {rb:>3} {min(lb, wp):>4} | "
+                  f"{work / 1e6:>15.1f} {iters:>8} {rel:>6.2f}")
 
 
 if __name__ == "__main__":

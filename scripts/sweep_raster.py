@@ -31,8 +31,7 @@ def main():
     )
     ap.add_argument(
         "--configs", nargs="*", default=None,
-        help="fc,rb,xb[,bc] tuples, e.g. 32,8,256 32,8,128,4 "
-             "(bc = BAND_CHUNKS, 0 = single-level culling)",
+        help="fc,rb,xb tuples, e.g. 32,8,256 16,8,128",
     )
     args = ap.parse_args()
 
@@ -73,11 +72,10 @@ def main():
     vz = verts[..., 2]
     attrs = vp * 0.01
 
-    def run_cfg(fc, rb, xb, bc=0):
+    def run_cfg(fc, rb, xb):
         os.environ["HOCON_FACE_CHUNK"] = str(fc)
         os.environ["HOCON_ROW_BLOCK"] = str(rb)
         os.environ["HOCON_LANE_BLOCK"] = str(xb)
-        os.environ["HOCON_BAND_CHUNKS"] = str(bc)
         import hocon.render.raster as R
         import hocon.render.raster_pallas as RP
 
@@ -108,7 +106,7 @@ def main():
         t_f = timeit(fwd)
         t_fb = timeit(bwd)
         print(
-            f"FC={fc:>2} RB={rb:>2} XB={xb:>3} BC={bc:>2} | fwd {t_f:6.2f} ms"
+            f"FC={fc:>2} RB={rb:>2} XB={xb:>3} | fwd {t_f:6.2f} ms"
             f" | fwd+bwd {t_fb:6.2f} ms | bwd {t_fb - t_f:6.2f} ms",
             flush=True,
         )

@@ -262,24 +262,12 @@ def test_backward_vmem_guard_raises_for_huge_meshes():
         )
 
 
-def test_auto_config_policy():
-    """The face-count-adaptive schedule: banded 128-lane split at high
-    face counts, the swept single-level default otherwise; HOCON_* env
-    pins override (exercised by the subprocess test below, which relies
-    on exactly that)."""
-    from hocon.render import raster_pallas as RP
-
-    assert RP.auto_config(2852, 256) == RP.RasterConfig(32, 128, 4)
-    assert RP.auto_config(2048, 256) == RP.RasterConfig(32, 128, 4)
-    # Toy/hand-only scale and narrow images keep the default schedule.
-    assert RP.auto_config(1600, 256) == RP.default_config()
-    assert RP.auto_config(4000, 128) == RP.default_config()
-
-
-def test_banded_two_level_culling_matches_xla():
-    """HOCON_BAND_CHUNKS > 0 (two-level band/x-sorted chunk culling,
-    VERDICT r2 #6) must leave forward AND backward parity with the XLA
-    backend intact. Subprocess because tile constants bind at import."""
+def test_lane_split_schedule_matches_xla():
+    """A multi-lane-block schedule (HOCON_LANE_BLOCK below the image
+    width — the production schedule for >=512px renders) must leave
+    forward AND backward parity with the XLA backend intact, including
+    the per-chunk x-interval culling across lane blocks. Subprocess
+    because tile constants bind at import."""
     import subprocess
     import sys
 
@@ -319,11 +307,10 @@ gx = np.asarray(jax.grad(loss("xla"))(verts_pix))
 gp = np.asarray(jax.grad(loss("pallas"))(verts_pix))
 cos = (gx * gp).sum() / (np.linalg.norm(gx) * np.linalg.norm(gp) + 1e-12)
 assert cos > 0.9999, cos
-print("BANDED-OK")
+print("LANESPLIT-OK")
 """
     env = dict(
         os.environ,
-        HOCON_BAND_CHUNKS="2",
         HOCON_FACE_CHUNK="8",
         HOCON_LANE_BLOCK="128",
         JAX_PLATFORMS="cpu",
@@ -333,4 +320,4 @@ print("BANDED-OK")
         text=True, timeout=600,
     )
     assert r.returncode == 0, r.stderr[-3000:]
-    assert "BANDED-OK" in r.stdout
+    assert "LANESPLIT-OK" in r.stdout
