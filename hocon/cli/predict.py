@@ -22,7 +22,7 @@ import numpy as np
 from hocon.cli import opts
 from hocon.cli.train import apply_torch_init, build_model
 from hocon.data.factory import get_dataset
-from hocon.data.pipeline import BatchLoader
+from hocon.data.pipeline import GrainEvalLoader, probe_batch
 from hocon.train.checkpoints import CheckpointManager
 from hocon.train.sharding import make_mesh, replicate, shard_batch
 from hocon.train.state import create_train_state, make_optimizer
@@ -54,11 +54,18 @@ def main(argv=None):
     # once, so every process walks the same global batches (all must
     # participate in the jitted step) and only process 0 writes — the same
     # protocol as evaluate.py --dump_codalab. shard_batch still splits each
-    # batch across the device mesh inside the step.
-    loader = BatchLoader(ds, args.batch_size, shuffle=False, drop_last=False)
+    # batch across the device mesh inside the step. GrainEvalLoader keeps
+    # BatchLoader's exact batches + _valid masks; --workers > 0 moves the
+    # per-sample decode/crop into child processes.
+    loader = GrainEvalLoader(
+        ds, args.batch_size, shuffle=False, drop_last=False,
+        worker_count=args.workers,
+    )
 
     model = build_model(args, mano)
-    sample = next(iter(loader))
+    # probe_batch, not next(iter(loader)): pulling batch 0 from the loader
+    # would spin up (and abandon) a Grain worker pool under --workers > 0.
+    sample = probe_batch(ds, loader.local_batch)
     state = create_train_state(
         model, mano, make_optimizer(), sample, jax.random.PRNGKey(0),
         with_object=args.use_objects,

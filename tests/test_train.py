@@ -242,6 +242,32 @@ def test_trainwarp_cli_smoke(tmp_path, monkeypatch):
     assert state is not None
 
 
+def test_predict_cli_smoke(tmp_path, monkeypatch):
+    """predict.py writes predictions.npz covering the FULL split exactly
+    once — incl. the padded tail batch (_valid filtering; 2x4=8 frames at
+    batch 5 -> batches of 5 and 3+2 pad) — and --workers N produces a
+    bit-identical artifact (GrainEvalLoader parity at the CLI level)."""
+    monkeypatch.chdir(tmp_path)
+    import numpy as np
+
+    from hocon.cli.predict import main
+
+    base = [
+        "--dataset", "synthetic", "--image_size", "64", "--batch_size", "5",
+        "--synth_videos", "2", "--synth_frames", "4", "--no_bf16",
+    ]
+    out0 = main(base + ["--out", "p0"])
+    preds0 = dict(np.load(out0))
+    assert preds0["joints_cam"].shape[0] == 8  # full split, no pad rows
+    assert preds0["joints2d"].shape == (8, 21, 2)
+
+    out2 = main(base + ["--out", "p2", "--workers", "2"])
+    preds2 = dict(np.load(out2))
+    assert sorted(preds2) == sorted(preds0)
+    for k in preds0:
+        np.testing.assert_array_equal(preds2[k], preds0[k])
+
+
 def test_warp_step_data_parallel_8_devices(mano_model):
     """The WARP train step under 8-device DP: sharded pair batch, numerics
     parity with single-device, gradient all-reduce present in the HLO
