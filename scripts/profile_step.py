@@ -86,7 +86,7 @@ def main():
     ds = get_dataset(
         "synthetic", "train", image_size=res, use_objects=True, train=True,
         mano=mano, pair_mode=True, fraction=0.25, synth_videos=2,
-        synth_frames=16, seed=0,
+        synth_frames=16, seed=0, synth_obj_faces=args.obj_faces,
     )
     loader = BatchLoader(ds, batch_size=b, seed=0, drop_last=False)
     # Pin the batch on device once: re-sending 25MB over the axon tunnel
@@ -231,6 +231,10 @@ def main():
     print(f"plane prep (fwd only): {t * 1e3:8.2f} ms")
 
     # --- bilinear sampling fwd+bwd ---
+    # Two query patterns: uniform-random (worst case — every source-row
+    # segment live in every block) and the REAL warp coords (this scene's
+    # rendered flow texture: background ~0, object rows clustered), which
+    # the sampler's segmented-K row selection exploits.
     img = jnp.asarray(rng.uniform(0, 1, (b, res, res, 3)), jnp.float32)
     coords = jnp.asarray(
         rng.uniform(0, res, (b, res, res, 2)), jnp.float32
@@ -243,7 +247,15 @@ def main():
         )(img, coords)
 
     t = timeit(samp_fwdbwd, (img, coords), steps=args.steps)
-    print(f"bilinear fwd+bwd:      {t * 1e3:8.2f} ms")
+    print(f"bilinear fwd+bwd (uniform-random coords): {t * 1e3:8.2f} ms")
+
+    flow = jax.jit(lambda p, z, a: soft_rasterize(
+        p, z, faces_b, attrs=a, image_size=(res, res), backend="auto",
+        backface_cull=True,
+    ).attr)(pix, zs, attrs)
+    coords_warp = jax.lax.stop_gradient(flow[..., :2])
+    t = timeit(samp_fwdbwd, (img, coords_warp), steps=args.steps)
+    print(f"bilinear fwd+bwd (real warp coords):      {t * 1e3:8.2f} ms")
 
     # --- SSIM fwd+bwd ---
     img2 = jnp.asarray(rng.uniform(0, 1, (b, res, res, 3)), jnp.float32)

@@ -4,18 +4,13 @@
 # gate and fired in one go when the tunnel is back — use
 # scripts/tpu_wait_and_batch.sh to poll-and-fire automatically).
 #
-# Current queue (round 4, after tpu_batch_r4 + _r4b ran and the banded
-# culling scheme was deleted):
+# Current queue (round 4d — after the segmented-K sampler landed):
 #   1. probe gate (trivial matmul = RTT; conv jit = compile service)
-#   2. bench realistic on the simplified (banding-free) kernel — expect
-#      ~393.9 pairs/s (same code path as before the deletion)
-#   3. FC/RB re-sweep at the realistic face count on the simplified
-#      kernel (FC16/64, RB16 were last swept at 1.55k faces in round 2)
-#   4. fixed isolated-raster profile (posed MANO mesh; the old random-blob
-#      mesh defeated chunk culling and overstated raster ~4x) — toy and
-#      realistic face counts
-#   5. consistency-gain repro seeds 3-5 (adds power to the 3-seed round-4
-#      realistic result: -0.82/+1.07/+0.53 mm)
+#   2. bench toy + realistic with the segmented sampler (prior: 507.6 /
+#      394.8 pairs/s)
+#   3. profile toy + realistic — the bilinear line now reports BOTH
+#      uniform-random coords (worst case, expect ~5.3 ms unchanged) and
+#      real warp coords (the segmented path's target pattern)
 # Usage: bash scripts/tpu_batch.sh [logfile]
 set -u
 LOG="${1:-/tmp/tpu_batch.log}"
@@ -52,10 +47,8 @@ assert dt < 90, 'compile service degraded'
   exit 1
 fi
 
+run bench-toy      2700 python bench.py
 run bench-real     2700 python bench.py --obj_faces 1280
-run sweep-fc-rb    5400 python scripts/sweep_raster.py --obj_faces 1280 --cull \
-    --configs 32,8,256 16,8,256 64,8,256 32,16,256 16,16,256
 run profile        2700 python scripts/profile_step.py
 run profile-real   2700 python scripts/profile_step.py --obj_faces 1280
-run repro-seeds345 5400 python scripts/repro_synthetic_consistency.py 3 4 5 --obj_faces 1280
 echo "=== tpu_batch done $(date)" | tee -a "$LOG"
