@@ -32,6 +32,7 @@ over the autodiff backward.
 from __future__ import annotations
 
 import functools
+import math
 import os
 import typing
 
@@ -105,10 +106,33 @@ def _lane_block(wp: int, lane_block: int = LANE_BLOCK) -> int:
 # radius directly scales kernel time.
 CUTOFF_SIGMAS = 4.5
 _BIG_NEG = -1e4  # inert-face edge constant; squared stays in f32 range
+# Fixed-reference softmax (forward fast path): every logit is bounded —
+# log(sigmoid) <= 0 and -zbar/gamma >= -1/gamma — so when 1/gamma is
+# moderate the weights exp(l - 0) stay inside f32 range (floor
+# exp(-1/gamma - cutoff tail) and the den floor is the background weight
+# exp(-1/gamma) >= exp(-60) ~ 8.8e-27, far above f32 denormals at 1e-38).
+# The streaming max-renormalized path (m tracked per pixel) is kept for
+# larger 1/gamma. 60 leaves two orders of slack for the attr numerators.
+_FIXED_M_MAX_INV_GAMMA = 60.0
 
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
+
+
+def _prod_axis0(t: jnp.ndarray) -> jnp.ndarray:
+    """Product over the leading axis, keepdims — via pairwise halving.
+
+    Mosaic TPU has no reduce_prod lowering (NotImplementedError at kernel
+    compile; CPU interpret mode passes silently), so the (FC, RB, W)
+    product folds in log2(FC) elementwise multiplies instead."""
+    while t.shape[0] > 1:
+        h = t.shape[0] // 2
+        head = t[:h] * t[h : 2 * h]
+        if t.shape[0] % 2:
+            head = jnp.concatenate([head, t[2 * h :]], axis=0)
+        t = head
+    return t
 
 
 def sort_faces_by_y(
@@ -263,6 +287,7 @@ def _raster_kernel(
     face_chunk: int,
     sigma: float,
     gamma: float,
+    fixed_m: bool,
 ):
     rb = ROW_BLOCK
     y_base = (pl.program_id(1) * rb).astype(jnp.float32)
@@ -270,13 +295,29 @@ def _raster_kernel(
     inv_sigma_sq = 1.0 / (sigma * sigma)
     inv_gamma = 1.0 / gamma
     l_bg = jnp.float32(-1.0 / gamma)  # background logit (p=1, zbar=1)
+    # Fixed-m path: softmax weights are exp(l - 0), so the background
+    # weight is the compile-time constant exp(l_bg).
+    w_bg = jnp.float32(math.exp(-1.0 / gamma))
 
-    # Streaming max-renormalized softmax state, initialized with the
-    # background "face" (weight 1 at logit l_bg, zbar_bg = 1, attrs_bg = 0).
+    # Softmax state, initialized with the background "face" (zbar_bg = 1,
+    # attrs_bg = 0). Streaming path: acc[0] accumulates sum log(1 - p)
+    # and acc[1] tracks the running max logit m (weights exp(l - m), bg
+    # weight 1). Fixed-m path: acc[0] accumulates prod (1 - p) directly,
+    # acc[1] stays 0 (saved to mden so the backward's exp(l - m) chain is
+    # unchanged), weights are exp(l) and the bg weight is exp(l_bg).
     acc_ref[...] = jnp.zeros_like(acc_ref)
-    acc_ref[1:2] = jnp.full((1, rb, width), l_bg, jnp.float32)
-    acc_ref[2:3] = jnp.ones((1, rb, width), jnp.float32)
-    acc_ref[n_attr + 2 : n_attr + 3] = jnp.ones((1, rb, width), jnp.float32)
+    if fixed_m:
+        acc_ref[0:1] = jnp.ones((1, rb, width), jnp.float32)
+        acc_ref[2:3] = jnp.full((1, rb, width), w_bg, jnp.float32)
+        acc_ref[n_attr + 2 : n_attr + 3] = jnp.full(
+            (1, rb, width), w_bg, jnp.float32
+        )
+    else:
+        acc_ref[1:2] = jnp.full((1, rb, width), l_bg, jnp.float32)
+        acc_ref[2:3] = jnp.ones((1, rb, width), jnp.float32)
+        acc_ref[n_attr + 2 : n_attr + 3] = jnp.ones(
+            (1, rb, width), jnp.float32
+        )
 
     # iota must be integer-typed on TPU; convert after.
     x = (
@@ -321,6 +362,32 @@ def _raster_kernel(
             signed_sq = jnp.where(d_in > 0, d_in * d_in, -dist2)
             logits = signed_sq * inv_sigma_sq
             zbar = jnp.clip(row_eval(9), 0.0, 1.0)
+            if fixed_m:
+                # ONE exp serves sigmoid AND its complement: with
+                # e = exp(-|x|) and r = 1/(1+e), sigmoid(x) is r (x>=0)
+                # or r*e (x<0) and 1-sigmoid(x) is the swap — no softplus
+                # (exp+log1p) and no max/rescale pass. Weights exp(l) are
+                # in-range by the _FIXED_M_MAX_INV_GAMMA bound; a face
+                # beyond the cutoff underflows to an exact 0 contribution,
+                # which is what culling already assumes is unobservable.
+                e2 = jnp.exp(-jnp.abs(logits))
+                r = 1.0 / (1.0 + e2)
+                pos = logits >= 0
+                one = jnp.float32(1.0)
+                sig = r * jnp.where(pos, one, e2)
+                oms = r * jnp.where(pos, e2, one)  # 1 - sigmoid, exact swap
+                w = sig * jnp.exp(-zbar * inv_gamma)  # (FC, RB, W)
+
+                acc_ref[0:1] *= _prod_axis0(oms)
+                acc_ref[2:3] += jnp.sum(w, axis=0, keepdims=True)
+                for c in range(n_attr - 1):
+                    acc_ref[3 + c : 4 + c] += jnp.sum(
+                        w * row_eval(10 + c), axis=0, keepdims=True
+                    )
+                acc_ref[n_attr + 2 : n_attr + 3] += jnp.sum(
+                    w * zbar, axis=0, keepdims=True
+                )
+                return
             # ONE softplus serves both accumulators (same identity as the
             # XLA backend — raster.py _aggregate_chunk): log(sigmoid(x))
             # == -sp, log(1 - sigmoid(x)) == -(x + sp), sp = softplus(-x).
@@ -350,15 +417,18 @@ def _raster_kernel(
         krange_ref[0, yi, 0], krange_ref[0, yi, 1], chunk_body, 0
     )
 
-    log_neg = acc_ref[0]
-    m = acc_ref[1]
     den = acc_ref[2]
     inv_den = 1.0 / den
-    sil_ref[0] = 1.0 - jnp.exp(log_neg)
-    vis_ref[0] = 1.0 - jnp.exp(l_bg - m) * inv_den
+    if fixed_m:
+        sil_ref[0] = 1.0 - acc_ref[0]  # acc[0] holds prod(1 - p) directly
+        vis_ref[0] = 1.0 - w_bg * inv_den
+    else:
+        sil_ref[0] = 1.0 - jnp.exp(acc_ref[0])
+        vis_ref[0] = 1.0 - jnp.exp(l_bg - acc_ref[1]) * inv_den
     attr_ref[0] = acc_ref[3 : n_attr + 3] * inv_den[None]
-    # Softmax state saved for the backward kernel.
-    mden_ref[0, 0] = m
+    # Softmax state saved for the backward kernel (fixed-m path: m stayed
+    # 0 in acc[1], so the backward's exp(l - m) chain needs no change).
+    mden_ref[0, 0] = acc_ref[1]
     mden_ref[0, 1] = den
 
 
@@ -391,6 +461,7 @@ def _forward_padded(coeffs, bounds, image_size, sigma, gamma, n_attr,
         face_chunk=config.face_chunk,
         sigma=sigma,
         gamma=gamma,
+        fixed_m=(1.0 / gamma) <= _FIXED_M_MAX_INV_GAMMA,
     )
     nyb = hp // ROW_BLOCK
     krange = _chunk_ranges(bounds, hp)
@@ -569,9 +640,18 @@ def _raster_bwd_kernel(
             # exp(l - m) with l = log(sigmoid(logits)) - z/gamma, computed
             # as sig * exp(-z/gamma - m): one sigmoid + one exp, and the
             # sigmoid is reused for the silhouette/coverage chain below
-            # (saves the softplus recompute entirely).
+            # (saves the softplus recompute entirely). The factored
+            # exponent e = -z/gamma - m satisfies e <= -log(sig) (because
+            # l <= m), so e > 80 forces sig < e^-80 — a face >= 8.9 sigma
+            # from the pixel, far beyond the 4.5-sigma cutoff the chunk
+            # culling already declares unobservable. Clamping e there
+            # stops the f32 overflow (inf * denormal-sig = NaN) that a
+            # sharp gamma (1/gamma > ~88) hits on empty pixels, while
+            # only shrinking contributions the cutoff contract zeroes
+            # wholesale when they land one chunk further out.
             sig = jax.nn.sigmoid(logits)
-            what = sig * jnp.exp(-z * inv_gamma - m) * inv_den  # (FC, RB, W)
+            e_w = jnp.minimum(-z * inv_gamma - m, jnp.float32(80.0))
+            what = sig * jnp.exp(e_w) * inv_den  # (FC, RB, W)
 
             # dL/dl accumulates softmax-competition terms over channels.
             ssum = g_z * (z - out_z) + gvis * (1.0 - vis)

@@ -4,17 +4,24 @@
 # gate and fired in one go when the tunnel is back — use
 # scripts/tpu_wait_and_batch.sh to poll-and-fire automatically).
 #
-# Current queue (round 4d — after the segmented-K sampler landed):
+# Current queue (round 4e — segmented-K sampler + fixed-m raster fwd;
+# the r4d numbers are VOID: two concurrent batches + /root/repo import
+# leak, see CLAUDE.md):
 #   1. probe gate (trivial matmul = RTT; conv jit = compile service)
-#   2. bench toy + realistic with the segmented sampler (prior: 507.6 /
-#      394.8 pairs/s)
-#   3. profile toy + realistic — the bilinear line now reports BOTH
-#      uniform-random coords (worst case, expect ~5.3 ms unchanged) and
-#      real warp coords (the segmented path's target pattern)
+#   2. trainwarp CLI drive (the /verify step for the kernel changes)
+#   3. bench toy + realistic (clean prior: 507.6 / 394.8 pairs/s)
+#   4. profile toy + realistic — bilinear line reports BOTH
+#      uniform-random coords (worst case) and real warp coords (the
+#      segmented path's target pattern)
 # Usage: bash scripts/tpu_batch.sh [logfile]
 set -u
 LOG="${1:-/tmp/tpu_batch.log}"
 cd "$(dirname "$0")/.."
+# Pin imports to THIS tree: when the batch runs from a snapshot worktree,
+# scripts/* entrypoints put scripts/ (not the root) at sys.path[0], and
+# the editable install then resolves `hocon` from /root/repo — measuring
+# whatever is half-edited there instead of the snapshot (burned r4d).
+export PYTHONPATH="$(pwd)"
 
 run() {
   local name="$1" tmo="$2"; shift 2
@@ -47,6 +54,11 @@ assert dt < 90, 'compile service degraded'
   exit 1
 fi
 
+DRIVE_DIR=$(mktemp -d)
+(cd "$DRIVE_DIR" && run trainwarp-drive 1500 python -u -m hocon.cli.trainwarp \
+  --dataset synthetic --image_size 128 --batch_size 8 --epochs 1 \
+  --exp_id e2ewarp --synth_videos 2 --synth_frames 8 --fraction 0.25 \
+  --lr 1e-4)
 run bench-toy      2700 python bench.py
 run bench-real     2700 python bench.py --obj_faces 1280
 run profile        2700 python scripts/profile_step.py

@@ -146,6 +146,63 @@ def test_pallas_backward_kernel_matches_xla_vjp(mano_model):
     assert cos > 0.9999, cos
 
 
+def test_fixed_m_and_streaming_softmax_paths_match_xla():
+    """The forward kernel has two softmax schedules: fixed-m (1/gamma <=
+    _FIXED_M_MAX_INV_GAMMA: weights exp(l), silhouette as a direct
+    prod(1-p)) and the streaming max-renormalized fallback for sharper
+    gamma. Both must match the XLA reference — forward and gradients —
+    and the threshold must route each gamma to the intended path."""
+    from hocon.render.raster_pallas import _FIXED_M_MAX_INV_GAMMA
+
+    # Same well-conditioned scene as test_pallas_gradients_match_xla:
+    # near-degenerate random faces (tiny area -> huge plane coefficients)
+    # amplify f32 noise in BOTH backends beyond any useful tolerance.
+    vp, vz, f, a = _scene(b=1, v=9, f=8)
+    for gamma in (1.0 / 40.0, 1.0 / 100.0):  # fixed-m path, streaming path
+        assert (gamma == 1.0 / 40.0) == (1.0 / gamma <= _FIXED_M_MAX_INV_GAMMA)
+        out_x = _render("xla", vp, vz, f, a, sigma=1.2, gamma=gamma)
+        out_p = _render("pallas", vp, vz, f, a, sigma=1.2, gamma=gamma)
+        np.testing.assert_allclose(
+            np.asarray(out_p.sil), np.asarray(out_x.sil), atol=2e-5
+        )
+        # rtol covers large attr magnitudes: the two softmax schedules
+        # reassociate the weighted sums differently (f32 ~1e-5 rel).
+        np.testing.assert_allclose(
+            np.asarray(out_p.attr), np.asarray(out_x.attr),
+            atol=2e-4, rtol=1e-4,
+        )
+        np.testing.assert_allclose(
+            np.asarray(out_p.vis), np.asarray(out_x.vis), atol=2e-4
+        )
+
+        # Restrict the loss to covered pixels (the kernel's contract:
+        # outside the silhouette the culled kernel and the unculled XLA
+        # function are different functions by design — at sharp gamma the
+        # empty-pixel outputs are decided entirely by >4.5-sigma tails).
+        mask = jax.lax.stop_gradient(
+            (out_x.sil > 1e-3).astype(jnp.float32)
+        )
+
+        def loss(backend, vp_, gamma=gamma):
+            out = _render(backend, vp_, vz, f, a, sigma=1.2, gamma=gamma)
+            return (
+                jnp.sum((out.sil * mask) ** 2)
+                + jnp.sum((out.attr * mask[..., None]) ** 2)
+                + jnp.sum((out.vis * mask) ** 2)
+            )
+
+        gx = np.asarray(jax.grad(lambda vp_: loss("xla", vp_))(vp))
+        gp = np.asarray(jax.grad(lambda vp_: loss("pallas", vp_))(vp))
+        assert not np.isnan(gp).any()  # streaming bwd overflow guard (e_w)
+        # Scale-aware: this squared loss produces O(1e5) gradients whose
+        # f32 noise floor is proportional to the max, not per-element.
+        np.testing.assert_allclose(gp, gx, atol=1e-4 * np.abs(gx).max())
+        cos = np.sum(gp * gx) / (
+            np.linalg.norm(gp) * np.linalg.norm(gx) + 1e-12
+        )
+        assert cos > 0.9999, cos
+
+
 def test_pallas_nonsquare_and_width_padding():
     """W not a multiple of 128 exercises the lane-padding path."""
     vp, vz, f, a = _scene(seed=3, spread=40.0)
