@@ -159,59 +159,77 @@ def _sample_kernel(seghit_ref, imgT_ref, xy_ref, out_ref, acc_ref, *, h, w, c):
 
 
 def _sample_bwd_kernel(
-    seghit_ref, imgT_ref, xy_ref, g_ref, dxy_ref, acc_ref, *, h, w, c
+    gnz_ref, seghit_ref, imgT_ref, xy_ref, g_ref, dxy_ref, acc_ref, *, h, w, c
 ):
     """Backward: dcoords (1, 2, RB, Wq) from the output cotangent g.
 
     Same row-folding and segment skipping as the forward; the two dots
     (rowsT for gx, y-derivative rows for gy) reuse ONE scratch
     accumulator sequentially, and the cotangent is reduced per channel
-    against (1, P) rows instead of materializing its (C*W, P) broadcast."""
+    against (1, P) rows instead of materializing its (C*W, P) broadcast.
+
+    Blocks whose cotangent is identically zero skip everything (the warp
+    loss's stop-gradient mask zeroes the background EXACTLY, and the
+    sampler has no geometric culling — pure-background row blocks would
+    otherwise still pay both segmented dots): dxy is zero-filled and the
+    body runs under ``pl.when`` on a precomputed any-nonzero flag."""
     wq = xy_ref.shape[-1]
-    iota_h = jax.lax.broadcasted_iota(jnp.int32, (h, 1), 0).astype(jnp.float32)
-    iota_w = jax.lax.broadcasted_iota(jnp.int32, (w, 1), 0).astype(jnp.float32)
-    imgT = imgT_ref[0]
-    x = _flatten_rows(xy_ref, 0)  # (1, RB*Wq)
-    y = _flatten_rows(xy_ref, 1)
+    dxy_ref[...] = jnp.zeros_like(dxy_ref)
+    # Hoisted: program_id has no lowering INSIDE a pl.when branch on the
+    # CPU interpreter path (works at kernel top level on every backend).
+    yi = pl.program_id(1)
 
-    gs = [
-        jnp.concatenate(
-            [g_ref[0, ci, r : r + 1, :] for r in range(ROW_BLOCK)], axis=1
-        )
-        for ci in range(c)
-    ]  # per-channel cotangent, each (1, RB*Wq)
+    @pl.when(gnz_ref[0, yi] > 0)
+    def _():
+        iota_h = jax.lax.broadcasted_iota(
+            jnp.int32, (h, 1), 0
+        ).astype(jnp.float32)
+        iota_w = jax.lax.broadcasted_iota(
+            jnp.int32, (w, 1), 0
+        ).astype(jnp.float32)
+        imgT = imgT_ref[0]
+        x = _flatten_rows(xy_ref, 0)  # (1, RB*Wq)
+        y = _flatten_rows(xy_ref, 1)
 
-    # STAGED to cap scoped VMEM: the (H, P)/(W, P) hat tensors are 1-2 MB
-    # each next to the 6.3 MB accumulator, so each is (re)computed right
-    # before its single use and dead after — all four alive at once blew
-    # the 16 MB scoped-VMEM limit (measured 20.3 MB on TPU lowering).
-    # x gradient: d(out_c)/dx = sum_w rowsT[c] * dwx; chain with g_c.
-    ohT, _, _ = _hat_and_mask(iota_h, y, 0.0, h - 1.0)
-    _seg_dot(acc_ref, seghit_ref, pl.program_id(1), imgT, ohT, h)
-    _, dwx, xmask = _hat_and_mask(iota_w, x, 0.0, w - 1.0)
-    gx = jnp.zeros_like(x)
-    for ci in range(c):
-        t = jnp.sum(
-            acc_ref[ci * w : (ci + 1) * w] * dwx, axis=0, keepdims=True
-        )
-        gx += t * gs[ci]
+        gs = [
+            jnp.concatenate(
+                [g_ref[0, ci, r : r + 1, :] for r in range(ROW_BLOCK)], axis=1
+            )
+            for ci in range(c)
+        ]  # per-channel cotangent, each (1, RB*Wq)
 
-    # y gradient through the y-lerp weights: drows/dy = imgT @ dohT.
-    _, dohT, ymask = _hat_and_mask(iota_h, y, 0.0, h - 1.0)
-    _seg_dot(acc_ref, seghit_ref, pl.program_id(1), imgT, dohT, h)
-    wx, _, _ = _hat_and_mask(iota_w, x, 0.0, w - 1.0)
-    gy = jnp.zeros_like(y)
-    for ci in range(c):
-        t = jnp.sum(
-            acc_ref[ci * w : (ci + 1) * w] * wx, axis=0, keepdims=True
-        )
-        gy += t * gs[ci]
+        # STAGED to cap scoped VMEM: the (H, P)/(W, P) hat tensors are
+        # 1-2 MB each next to the 6.3 MB accumulator, so each is
+        # (re)computed right before its single use and dead after — all
+        # four alive at once blew the 16 MB scoped-VMEM limit (measured
+        # 20.3 MB on TPU lowering).
+        # x gradient: d(out_c)/dx = sum_w rowsT[c] * dwx; chain with g_c.
+        ohT, _, _ = _hat_and_mask(iota_h, y, 0.0, h - 1.0)
+        _seg_dot(acc_ref, seghit_ref, yi, imgT, ohT, h)
+        _, dwx, xmask = _hat_and_mask(iota_w, x, 0.0, w - 1.0)
+        gx = jnp.zeros_like(x)
+        for ci in range(c):
+            t = jnp.sum(
+                acc_ref[ci * w : (ci + 1) * w] * dwx, axis=0, keepdims=True
+            )
+            gx += t * gs[ci]
 
-    gx = gx * xmask
-    gy = gy * ymask
-    for r in range(ROW_BLOCK):
-        dxy_ref[0, 0, r : r + 1, :] = gx[:, r * wq : (r + 1) * wq]
-        dxy_ref[0, 1, r : r + 1, :] = gy[:, r * wq : (r + 1) * wq]
+        # y gradient through the y-lerp weights: drows/dy = imgT @ dohT.
+        _, dohT, ymask = _hat_and_mask(iota_h, y, 0.0, h - 1.0)
+        _seg_dot(acc_ref, seghit_ref, yi, imgT, dohT, h)
+        wx, _, _ = _hat_and_mask(iota_w, x, 0.0, w - 1.0)
+        gy = jnp.zeros_like(y)
+        for ci in range(c):
+            t = jnp.sum(
+                acc_ref[ci * w : (ci + 1) * w] * wx, axis=0, keepdims=True
+            )
+            gy += t * gs[ci]
+
+        gx = gx * xmask
+        gy = gy * ymask
+        for r in range(ROW_BLOCK):
+            dxy_ref[0, 0, r : r + 1, :] = gx[:, r * wq : (r + 1) * wq]
+            dxy_ref[0, 1, r : r + 1, :] = gy[:, r * wq : (r + 1) * wq]
 
 
 def _seg_hits(xy, h):
@@ -292,10 +310,17 @@ def _sample_bwd(dims, residual, g):
     interpret = jax.default_backend() == "cpu"
     kernel = functools.partial(_sample_bwd_kernel, h=h, w=w, c=c)
     nyb = hp // ROW_BLOCK
+    # Any-nonzero cotangent per (batch, row block): exact block skipping
+    # for the masked warp loss (background g is identically zero there).
+    gnz = jnp.any(
+        g.reshape(b, c, nyb, ROW_BLOCK * wp) != 0, axis=(1, 3)
+    ).astype(jnp.int32)  # (B, NYB)
     dxy = pl.pallas_call(
         kernel,
         grid=(b, nyb),
         in_specs=[
+            pl.BlockSpec((1, nyb), lambda bi, yi: (bi, 0),
+                         memory_space=pltpu.SMEM),
             pl.BlockSpec((1, nyb, nseg), lambda bi, yi: (bi, 0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, w * c, h), lambda bi, yi: (bi, 0, 0),
@@ -314,7 +339,7 @@ def _sample_bwd(dims, residual, g):
             pltpu.VMEM((w * c, ROW_BLOCK * wp), jnp.float32)
         ],
         interpret=interpret,
-    )(seghit, imgT, xy, g)
+    )(gnz, seghit, imgT, xy, g)
     return None, None, dxy  # scheduling + image are data: no gradients
 
 

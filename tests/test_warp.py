@@ -259,6 +259,34 @@ def test_pallas_sampler_segmented_contraction():
     np.testing.assert_array_equal(np.asarray(_seg_hits(xy, 256)), [[[1, 0]]])
 
 
+def test_pallas_sampler_masked_cotangent_block_skip():
+    """The sampler backward skips row blocks whose cotangent is all-zero
+    (the warp loss's stop-gradient mask zeroes the background exactly).
+    A half-masked loss must produce gradients identical to the gather
+    reference — zeros on masked blocks, exact values elsewhere."""
+    from hocon.render.sample_pallas import ROW_BLOCK, bilinear_sample_pallas
+    from hocon.render.warp import bilinear_sample_gather
+
+    rng = np.random.default_rng(11)
+    img = jnp.asarray(rng.uniform(0, 1, (2, 64, 64, 3)), jnp.float32)
+    coords = jnp.asarray(rng.uniform(0, 64, (2, 32, 32, 2)), jnp.float32)
+    # Mask out the top half of the query rows (whole ROW_BLOCKs) plus a
+    # scattered pattern in the bottom half (partial blocks stay live).
+    mask = np.ones((2, 32, 32, 1), np.float32)
+    mask[:, : 2 * ROW_BLOCK] = 0.0
+    mask[:, 2 * ROW_BLOCK :, ::3] = 0.0
+    mask = jnp.asarray(mask)
+
+    def loss(fn, cc):
+        return jnp.sum((fn(img, cc) * mask) ** 2)
+
+    gg = jax.grad(lambda cc: loss(bilinear_sample_gather, cc))(coords)
+    gp = jax.grad(lambda cc: loss(bilinear_sample_pallas, cc))(coords)
+    np.testing.assert_allclose(np.asarray(gp), np.asarray(gg), atol=1e-4)
+    # Fully masked rows must yield exact zeros.
+    np.testing.assert_array_equal(np.asarray(gp[:, : 2 * ROW_BLOCK]), 0.0)
+
+
 def test_pallas_sampler_grads_at_integer_coords():
     """At exactly-integer sample coordinates (hat kinks) the Pallas kernel
     must return the one-sided forward-difference slope, not zero
