@@ -21,7 +21,10 @@ cd "$(dirname "$0")/.."
 # scripts/* entrypoints put scripts/ (not the root) at sys.path[0], and
 # the editable install then resolves `hocon` from /root/repo — measuring
 # whatever is half-edited there instead of the snapshot (burned r4d).
-export PYTHONPATH="$(pwd)"
+# ... but KEEP the axon site dir: dropping it unregisters the axon PJRT
+# plugin entirely ("Backend 'axon' is not in the list of known backends",
+# burned r4e).
+export PYTHONPATH="$(pwd):${PYTHONPATH:-}"
 
 run() {
   local name="$1" tmo="$2"; shift 2
