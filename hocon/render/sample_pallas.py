@@ -179,7 +179,7 @@ def _sample_bwd_kernel(
     # CPU interpreter path (works at kernel top level on every backend).
     yi = pl.program_id(1)
 
-    @pl.when(gnz_ref[0, yi] > 0)
+    @pl.when(gnz_ref[0, 0, yi] > 0)
     def _():
         iota_h = jax.lax.broadcasted_iota(
             jnp.int32, (h, 1), 0
@@ -312,14 +312,17 @@ def _sample_bwd(dims, residual, g):
     nyb = hp // ROW_BLOCK
     # Any-nonzero cotangent per (batch, row block): exact block skipping
     # for the masked warp loss (background g is identically zero there).
+    # Shaped (B, 1, NYB): Mosaic requires the SMEM block's last two dims to
+    # equal the array's (a (1, NYB) block over (B, NYB) fails TPU lowering
+    # — caught by the r4e2 batch; CPU interpret mode passes silently).
     gnz = jnp.any(
         g.reshape(b, c, nyb, ROW_BLOCK * wp) != 0, axis=(1, 3)
-    ).astype(jnp.int32)  # (B, NYB)
+    ).astype(jnp.int32)[:, None, :]  # (B, 1, NYB)
     dxy = pl.pallas_call(
         kernel,
         grid=(b, nyb),
         in_specs=[
-            pl.BlockSpec((1, nyb), lambda bi, yi: (bi, 0),
+            pl.BlockSpec((1, 1, nyb), lambda bi, yi: (bi, 0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, nyb, nseg), lambda bi, yi: (bi, 0, 0),
                          memory_space=pltpu.SMEM),
