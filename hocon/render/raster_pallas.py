@@ -678,9 +678,27 @@ def _raster_bwd_kernel(
             in_cnt = in_masks[0] + in_masks[1] + in_masks[2]
             o_masks = [(c2 == dist2).astype(jnp.float32) for c2 in c2s]
             o_cnt = o_masks[0] + o_masks[1] + o_masks[2]
+
+            # The tie counts are exactly 1, 2, or 3, so the 1/cnt split is a
+            # two-select table lookup instead of a VPU divide; folding the
+            # inside/outside gate in here too turns the six per-face-pixel
+            # divides of the naive form into two selects + one multiply.
+            def _rcp123(cnt):
+                return jnp.where(
+                    cnt == jnp.float32(1.0),
+                    jnp.float32(1.0),
+                    jnp.where(
+                        cnt == jnp.float32(2.0),
+                        jnp.float32(0.5),
+                        jnp.float32(1.0 / 3.0),
+                    ),
+                )
+
+            in_sel = _rcp123(in_cnt) * insf
+            o_sel = _rcp123(o_cnt) * (1.0 - insf)
             for ke in range(3):
-                sel_in = in_masks[ke] / in_cnt * insf
-                sel_out = o_masks[ke] / o_cnt * (1.0 - insf)
+                sel_in = in_masks[ke] * in_sel
+                sel_out = o_masks[ke] * o_sel
                 ds = (2.0 * d_in * sel_in - 2.0 * s[ke] * sel_out) * dss
                 add_row(ke, ds)
                 # overhang branch: ov = max(-u, u - L, 0)

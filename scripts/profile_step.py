@@ -267,6 +267,40 @@ def main():
     t = timeit(ssim_fwdbwd, (img, img2), steps=args.steps)
     print(f"ssim fwd+bwd:          {t * 1e3:8.2f} ms")
 
+    # --- residual slice: MANO layer and the Adam update in isolation ---
+    # (closes the "MANO + losses + Adam ~4.4 ms" bucket of the round-4
+    # decomposition into its two candidate costs; the warp step runs the
+    # MANO layer on 2b samples, ref + tgt.)
+    pose = jnp.zeros((2 * b, 15))
+    betas = jnp.zeros((2 * b, 10))
+    rot = jnp.zeros((2 * b, 3))
+
+    @jax.jit
+    def mano_fwdbwd(pose, betas, rot):
+        def f(p, s, r):
+            v, j = mano_forward(mano, p, s, r, scale_mm=False)
+            return jnp.sum(v) + jnp.sum(j)
+
+        return jax.grad(f, argnums=(0, 1, 2))(pose, betas, rot)
+
+    t = timeit(mano_fwdbwd, (pose, betas, rot), steps=args.steps)
+    print(f"mano fwd+bwd (2b):     {t * 1e3:8.2f} ms")
+
+    grads_like = jax.tree_util.tree_map(jnp.ones_like, state.params)
+
+    @jax.jit
+    def adam_update(grads, opt_state, params):
+        updates, new_opt = optimizer.update(grads, opt_state, params)
+        import optax
+
+        return optax.apply_updates(params, updates), new_opt
+
+    t = timeit(
+        adam_update, (grads_like, state.opt_state, state.params),
+        steps=args.steps,
+    )
+    print(f"adam update alone:     {t * 1e3:8.2f} ms")
+
 
 if __name__ == "__main__":
     main()
