@@ -12,40 +12,36 @@ VMEM:
   P = RB*Wq):
     ohT   = hat(iota_H - y)          (H, P)    y-lerp weights, bf16
     rowsT = imgT @ ohT               (C*W, P)  MXU — y-interpolated columns
-    wxT   = hat(iota_W - x)          (W, P)    x-lerp weights
-    out_c = sum_w (rowsT[c*W:...] * wxT)       (1, P)  sublane reduction
+    wxT   = tile_c(hat(iota_W - x))  (C*W, P)  x-lerp weights
+    out_c = sum_w (rowsT * wxT)[c]   (1, P)    contiguous sublane reduction
 
 ``hat(d) = max(0, 1 - |d|)`` with coordinates clamped to the valid range
 reproduces exactly the border-clamp bilinear semantics of
 ``warp.bilinear_sample_gather`` (same as torch grid_sample
 padding_mode='border', the reference's warp sampler).
 
-**Segmented contraction (round 4):** each query has exactly <=2 nonzero
-hat weights, yet the dense dot contracts over ALL H source rows. The
-contraction is split into SEG=128-row segments (the MXU-native K tile)
-and a per-(batch, row-block, segment) hit flag — precomputed on XLA into
-SMEM — lets the kernel skip segments no query in the block touches with
-``pl.when``. The warp's real coords make this pay: background pixels
-sample ~(0, 0) (flow attr ≈ 0 outside the silhouette) and object pixels
-cluster in a small y-band, so most blocks touch 1 of H/128 segments.
-Numerically this is the same sum — skipped segments contribute exact
-0.0, and f32 addition with zeros is lossless (boundary-straddling
-queries can differ by 1 ulp where the full dot's FMA fused a
-multiply-add the split rounds twice).
-
 The image lives in VMEM transposed CHANNEL-MAJOR as (C*W, H) bf16 (393 KB
 at 256^2x3) and stays resident across the row-block grid dimension;
 c-major means each output channel is a CONTIGUOUS (W, P) sublane slice of
 the product — no per-channel one-hot masking passes — and the x-hat
-weights are computed once at (W, P). The backward is a hand-written
-mirror kernel (2 segmented matmuls: rowsT + the y-derivative rows,
-sharing ONE scratch accumulator sequentially) returning dcoords; the
-image is data (no gradient needed). The cotangent enters per channel as
-(1, P) rows — the (C*W, P) broadcast the old backward materialized is
-never built.
+weights are computed once at (W, P) and tiled, not recomputed at (C*W, P).
+The backward is a hand-written mirror kernel (2 matmuls: recompute rowsT +
+the y-derivative rows) returning dcoords; the image is data (no gradient
+needed).
 
 Reference parity: torch ``F.grid_sample`` used by the consistency warp,
 SURVEY.md §3.2 step (3).
+
+CLOSED experiment (round 4, measured loss — do not re-attempt without new
+evidence): a segmented-K variant skipped 128-row source segments with no
+hat-weight hits (SMEM per-(batch, row-block, segment) flag table, plus an
+all-zero-cotangent row-block skip in the backward). On v5e-1 it REGRESSED
+bilinear fwd+bwd 5.3 -> 8.3 ms with real warp coords (9.9 ms uniform) and
+the full warp step 507.6 -> 462.7 toy / 394.8 -> 372.3 realistic pairs/s:
+the per-segment flag reads, smaller per-matmul shapes, and the extra
+any-nonzero reduction pass over the cotangents cost more than the skipped
+MXU work (raw logs: measurements/tpu_batch_r4f2.log; code at git
+43539b4^..43539b4).
 """
 
 from __future__ import annotations
@@ -58,7 +54,6 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 ROW_BLOCK = 8  # output rows per program
-SEG = 128  # source-row segment (MXU-native contraction tile)
 
 
 def _round_up(v: int, m: int) -> int:
@@ -102,43 +97,17 @@ def _flatten_rows(xy_ref, j):
     ) - jnp.float32(0.5)
 
 
-def _seg_dot(acc_ref, seghit_ref, yi, imgT, ohT, h):
-    """acc_ref <- imgT @ ohT, skipping dead 128-source-row segments.
-
-    One (C*W, SEG) @ (SEG, P) partial dot per LIVE segment; the SMEM hit
-    flags were computed by ``_seg_hits`` (full (1, NYB, NSEG) table per
-    batch — Mosaic requires SMEM block dims to equal the array dims, so
-    the row-block is selected by ``yi``, not the BlockSpec). With
-    h <= SEG there is nothing to skip and the single full dot avoids the
-    scratch zeroing pass."""
-    nseg = -(-h // SEG)
-    ohT = ohT.astype(imgT.dtype)  # one cast (bf16 on TPU) — the dot would
-    # cast per segment anyway, and bf16 halves the (H, P) VMEM residency.
-    if nseg <= 1:
-        acc_ref[...] = jax.lax.dot_general(
-            imgT, ohT, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        return
-    acc_ref[...] = jnp.zeros_like(acc_ref)
-    for s in range(nseg):
-        lo, hi = s * SEG, min(h, (s + 1) * SEG)
-
-        @pl.when(seghit_ref[0, yi, s] > 0)
-        def _(lo=lo, hi=hi):
-            acc_ref[...] += jax.lax.dot_general(
-                imgT[:, lo:hi], ohT[lo:hi, :],
-                (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
+def _tile_c(mat, c):
+    """Tile (W, P) sublane-wise to (C*W, P) — matches the c-major flat axis."""
+    return jnp.concatenate([mat] * c, axis=0) if c > 1 else mat
 
 
-def _sample_kernel(seghit_ref, imgT_ref, xy_ref, out_ref, acc_ref, *, h, w, c):
+def _sample_kernel(imgT_ref, xy_ref, out_ref, *, h, w, c):
     """Forward: out (1, C, RB, Wq) from imgT (1, C*W, H) and xy (1, 2, RB, Wq).
 
     All ROW_BLOCK output rows are folded into the lane axis (P = RB*Wq), so
-    the row selection is ONE segmented (C*W, H) @ (H, P) matmul per program
-    instead of RB narrow ones — ~8x larger N amortizes the MXU weight load."""
+    the row selection is ONE (C*W, H) @ (H, P) matmul per program instead
+    of RB narrow ones — ~8x larger N amortizes the MXU weight load."""
     wq = xy_ref.shape[-1]
     iota_h = jax.lax.broadcasted_iota(jnp.int32, (h, 1), 0).astype(jnp.float32)
     iota_w = jax.lax.broadcasted_iota(jnp.int32, (w, 1), 0).astype(jnp.float32)
@@ -146,109 +115,68 @@ def _sample_kernel(seghit_ref, imgT_ref, xy_ref, out_ref, acc_ref, *, h, w, c):
     x = _flatten_rows(xy_ref, 0)  # (1, RB*Wq)
     y = _flatten_rows(xy_ref, 1)
     ohT, _, _ = _hat_and_mask(iota_h, y, 0.0, h - 1.0)  # (H, RB*Wq)
-    _seg_dot(acc_ref, seghit_ref, pl.program_id(1), imgT, ohT, h)
-    rowsT = acc_ref[...]  # (C*W, RB*Wq) — y-interpolated flat columns
+    rowsT = jax.lax.dot_general(
+        imgT,
+        ohT.astype(imgT.dtype),
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (C*W, RB*Wq) — y-interpolated flat columns
     wx, _, _ = _hat_and_mask(iota_w, x, 0.0, w - 1.0)  # (W, RB*Wq)
+    prod = rowsT * _tile_c(wx, c)
     for ci in range(c):
         # c-major: channel ci is the contiguous sublane block [ci*w, ci*w+w).
-        s = jnp.sum(
-            rowsT[ci * w : (ci + 1) * w] * wx, axis=0, keepdims=True
-        )
+        s = jnp.sum(prod[ci * w : (ci + 1) * w], axis=0, keepdims=True)
         for r in range(ROW_BLOCK):
             out_ref[0, ci, r : r + 1, :] = s[:, r * wq : (r + 1) * wq]
 
 
-def _sample_bwd_kernel(
-    gnz_ref, seghit_ref, imgT_ref, xy_ref, g_ref, dxy_ref, acc_ref, *, h, w, c
-):
+def _sample_bwd_kernel(imgT_ref, xy_ref, g_ref, dxy_ref, *, h, w, c):
     """Backward: dcoords (1, 2, RB, Wq) from the output cotangent g.
 
-    Same row-folding and segment skipping as the forward; the two dots
-    (rowsT for gx, y-derivative rows for gy) reuse ONE scratch
-    accumulator sequentially, and the cotangent is reduced per channel
-    against (1, P) rows instead of materializing its (C*W, P) broadcast.
-
-    Blocks whose cotangent is identically zero skip everything (the warp
-    loss's stop-gradient mask zeroes the background EXACTLY, and the
-    sampler has no geometric culling — pure-background row blocks would
-    otherwise still pay both segmented dots): dxy is zero-filled and the
-    body runs under ``pl.when`` on a precomputed any-nonzero flag."""
+    Same row-folding as the forward: both dots run once at (H, RB*Wq)."""
     wq = xy_ref.shape[-1]
-    dxy_ref[...] = jnp.zeros_like(dxy_ref)
-    # Hoisted: program_id has no lowering INSIDE a pl.when branch on the
-    # CPU interpreter path (works at kernel top level on every backend).
-    yi = pl.program_id(1)
-
-    @pl.when(gnz_ref[0, 0, yi] > 0)
-    def _():
-        iota_h = jax.lax.broadcasted_iota(
-            jnp.int32, (h, 1), 0
-        ).astype(jnp.float32)
-        iota_w = jax.lax.broadcasted_iota(
-            jnp.int32, (w, 1), 0
-        ).astype(jnp.float32)
-        imgT = imgT_ref[0]
-        x = _flatten_rows(xy_ref, 0)  # (1, RB*Wq)
-        y = _flatten_rows(xy_ref, 1)
-
-        gs = [
-            jnp.concatenate(
-                [g_ref[0, ci, r : r + 1, :] for r in range(ROW_BLOCK)], axis=1
+    iota_h = jax.lax.broadcasted_iota(jnp.int32, (h, 1), 0).astype(jnp.float32)
+    iota_w = jax.lax.broadcasted_iota(jnp.int32, (w, 1), 0).astype(jnp.float32)
+    imgT = imgT_ref[0]
+    x = _flatten_rows(xy_ref, 0)  # (1, RB*Wq)
+    y = _flatten_rows(xy_ref, 1)
+    ohT, dohT, ymask = _hat_and_mask(iota_h, y, 0.0, h - 1.0)
+    wx, dwx, xmask = _hat_and_mask(iota_w, x, 0.0, w - 1.0)
+    # Cotangent on the c-major flat axis: gflat[ci*w + k, p] = g[ci, p].
+    gflat = jnp.concatenate(
+        [
+            jnp.broadcast_to(
+                jnp.concatenate(
+                    [g_ref[0, ci, r : r + 1, :] for r in range(ROW_BLOCK)],
+                    axis=1,
+                ),
+                (w, ROW_BLOCK * wq),
             )
             for ci in range(c)
-        ]  # per-channel cotangent, each (1, RB*Wq)
+        ],
+        axis=0,
+    )  # (C*W, RB*Wq)
 
-        # STAGED to cap scoped VMEM: the (H, P)/(W, P) hat tensors are
-        # 1-2 MB each next to the 6.3 MB accumulator, so each is
-        # (re)computed right before its single use and dead after — all
-        # four alive at once blew the 16 MB scoped-VMEM limit (measured
-        # 20.3 MB on TPU lowering).
-        # x gradient: d(out_c)/dx = sum_w rowsT[c] * dwx; chain with g_c.
-        ohT, _, _ = _hat_and_mask(iota_h, y, 0.0, h - 1.0)
-        _seg_dot(acc_ref, seghit_ref, yi, imgT, ohT, h)
-        _, dwx, xmask = _hat_and_mask(iota_w, x, 0.0, w - 1.0)
-        gx = jnp.zeros_like(x)
-        for ci in range(c):
-            t = jnp.sum(
-                acc_ref[ci * w : (ci + 1) * w] * dwx, axis=0, keepdims=True
-            )
-            gx += t * gs[ci]
-
-        # y gradient through the y-lerp weights: drows/dy = imgT @ dohT.
-        _, dohT, ymask = _hat_and_mask(iota_h, y, 0.0, h - 1.0)
-        _seg_dot(acc_ref, seghit_ref, yi, imgT, dohT, h)
-        wx, _, _ = _hat_and_mask(iota_w, x, 0.0, w - 1.0)
-        gy = jnp.zeros_like(y)
-        for ci in range(c):
-            t = jnp.sum(
-                acc_ref[ci * w : (ci + 1) * w] * wx, axis=0, keepdims=True
-            )
-            gy += t * gs[ci]
-
-        gx = gx * xmask
-        gy = gy * ymask
-        for r in range(ROW_BLOCK):
-            dxy_ref[0, 0, r : r + 1, :] = gx[:, r * wq : (r + 1) * wq]
-            dxy_ref[0, 1, r : r + 1, :] = gy[:, r * wq : (r + 1) * wq]
-
-
-def _seg_hits(xy, h):
-    """Per-(batch, row-block) segment hit flags (B, NYB, NSEG) int32.
-
-    A query with clamped source row cl touches segment [lo, hi) iff
-    cl in (lo-1, hi): hat weights are nonzero on rows (cl-1, cl+1).
-    Stop-gradient scheduling data, like the raster's chunk ranges."""
-    b, _, hp, wp = xy.shape
-    nseg = -(-h // SEG)
-    cl = jnp.clip(xy[:, 1] - 0.5, 0.0, h - 1.0).reshape(
-        b, hp // ROW_BLOCK, ROW_BLOCK * wp
+    rowsT = jax.lax.dot_general(
+        imgT, ohT.astype(imgT.dtype), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
     )
-    lo = jnp.arange(nseg, dtype=jnp.float32)[None, None, :] * SEG
-    hi = jnp.minimum(lo + SEG, float(h))
-    hit = jnp.any(
-        (cl[..., None] > lo - 1.0) & (cl[..., None] < hi), axis=2
+    gx = jnp.sum(
+        rowsT * gflat * _tile_c(dwx, c), axis=0, keepdims=True
+    )  # (1, RB*Wq)
+
+    # y gradient through the y-lerp weights: drows/dy = imgT @ dohT.
+    dtT = jax.lax.dot_general(
+        imgT, dohT.astype(imgT.dtype), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
     )
-    return hit.astype(jnp.int32)
+    gy = jnp.sum(dtT * gflat * _tile_c(wx, c), axis=0, keepdims=True)
+
+    gx = gx * xmask
+    gy = gy * ymask
+    for r in range(ROW_BLOCK):
+        dxy_ref[0, 0, r : r + 1, :] = gx[:, r * wq : (r + 1) * wq]
+        dxy_ref[0, 1, r : r + 1, :] = gy[:, r * wq : (r + 1) * wq]
 
 
 def _pad_queries(xy: jnp.ndarray):
@@ -260,27 +188,20 @@ def _pad_queries(xy: jnp.ndarray):
     return xy, hp, wp
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
-def _sample_padded(seghit, imgT, xy, dims):
-    return _sample_fwd_call(seghit, imgT, xy, dims)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _sample_padded(imgT, xy, dims):
+    return _sample_fwd_call(imgT, xy, dims)
 
 
-def _sample_fwd_call(seghit, imgT, xy, dims):
+def _sample_fwd_call(imgT, xy, dims):
     h, w, c = dims
     b, _, hp, wp = xy.shape
-    nseg = seghit.shape[-1]
     interpret = jax.default_backend() == "cpu"
     kernel = functools.partial(_sample_kernel, h=h, w=w, c=c)
-    nyb = hp // ROW_BLOCK
     return pl.pallas_call(
         kernel,
-        grid=(b, nyb),
+        grid=(b, hp // ROW_BLOCK),
         in_specs=[
-            # Full per-batch hit table: Mosaic requires SMEM block dims to
-            # equal the array dims; the kernel selects its row block via
-            # program_id(1) (same pattern as the raster's krange).
-            pl.BlockSpec((1, nyb, nseg), lambda bi, yi: (bi, 0, 0),
-                         memory_space=pltpu.SMEM),
             pl.BlockSpec((1, w * c, h), lambda bi, yi: (bi, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 2, ROW_BLOCK, wp), lambda bi, yi: (bi, 0, yi, 0),
@@ -291,41 +212,24 @@ def _sample_fwd_call(seghit, imgT, xy, dims):
             memory_space=pltpu.VMEM,
         ),
         out_shape=jax.ShapeDtypeStruct((b, c, hp, wp), jnp.float32),
-        scratch_shapes=[
-            pltpu.VMEM((w * c, ROW_BLOCK * wp), jnp.float32)
-        ],
         interpret=interpret,
-    )(seghit, imgT, xy)
+    )(imgT, xy)
 
 
-def _sample_fwd(seghit, imgT, xy, dims):
-    return _sample_fwd_call(seghit, imgT, xy, dims), (seghit, imgT, xy)
+def _sample_fwd(imgT, xy, dims):
+    return _sample_fwd_call(imgT, xy, dims), (imgT, xy)
 
 
 def _sample_bwd(dims, residual, g):
-    seghit, imgT, xy = residual
+    imgT, xy = residual
     h, w, c = dims
     b, _, hp, wp = xy.shape
-    nseg = seghit.shape[-1]
     interpret = jax.default_backend() == "cpu"
     kernel = functools.partial(_sample_bwd_kernel, h=h, w=w, c=c)
-    nyb = hp // ROW_BLOCK
-    # Any-nonzero cotangent per (batch, row block): exact block skipping
-    # for the masked warp loss (background g is identically zero there).
-    # Shaped (B, 1, NYB): Mosaic requires the SMEM block's last two dims to
-    # equal the array's (a (1, NYB) block over (B, NYB) fails TPU lowering
-    # — caught by the r4e2 batch; CPU interpret mode passes silently).
-    gnz = jnp.any(
-        g.reshape(b, c, nyb, ROW_BLOCK * wp) != 0, axis=(1, 3)
-    ).astype(jnp.int32)[:, None, :]  # (B, 1, NYB)
     dxy = pl.pallas_call(
         kernel,
-        grid=(b, nyb),
+        grid=(b, hp // ROW_BLOCK),
         in_specs=[
-            pl.BlockSpec((1, 1, nyb), lambda bi, yi: (bi, 0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, nyb, nseg), lambda bi, yi: (bi, 0, 0),
-                         memory_space=pltpu.SMEM),
             pl.BlockSpec((1, w * c, h), lambda bi, yi: (bi, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 2, ROW_BLOCK, wp), lambda bi, yi: (bi, 0, yi, 0),
@@ -338,12 +242,9 @@ def _sample_bwd(dims, residual, g):
             memory_space=pltpu.VMEM,
         ),
         out_shape=jax.ShapeDtypeStruct((b, 2, hp, wp), jnp.float32),
-        scratch_shapes=[
-            pltpu.VMEM((w * c, ROW_BLOCK * wp), jnp.float32)
-        ],
         interpret=interpret,
-    )(gnz, seghit, imgT, xy, g)
-    return None, None, dxy  # scheduling + image are data: no gradients
+    )(imgT, xy, g)
+    return None, dxy  # image is data: no gradient
 
 
 _sample_padded.defvjp(_sample_fwd, _sample_bwd)
@@ -375,7 +276,6 @@ def bilinear_sample_pallas(
     imgT = image.transpose(0, 3, 2, 1).reshape(b, c * w, h).astype(mm_dtype)
     xy = jnp.moveaxis(coords, -1, 1)  # (B, 2, Hq, Wq)
     xy, hp, wp = _pad_queries(xy)
-    seghit = jax.lax.stop_gradient(_seg_hits(xy, h))
-    out = _sample_padded(seghit, imgT, xy, (h, w, c))  # (B, C, hp, wp)
+    out = _sample_padded(imgT, xy, (h, w, c))  # (B, C, hp, wp)
     out = out[:, :, :hq, :wq]
     return jnp.moveaxis(out, 1, -1)
