@@ -99,12 +99,16 @@ def default_config() -> RasterConfig:
 def _lane_block(wp: int, lane_block: int = LANE_BLOCK) -> int:
     """Lane-block width for a padded image width (wp a multiple of 128)."""
     return wp if wp <= lane_block else 128
-# Coverage is sigmoid(-d^2/sigma^2): at 4.5*sigma from a face it is ~1.6e-9
-# (and its gradient smaller still), orders of magnitude below the f32 noise
-# of the accumulation itself — culling chunks beyond this radius changes
-# nothing observable. The margin is ~half of a chunk's y-span, so the
-# radius directly scales kernel time.
-CUTOFF_SIGMAS = 4.5
+# Coverage is sigmoid(-d^2/sigma^2): at 3.5*sigma from a face it is
+# ~4.8e-6 (gradient smaller still) — below the Pallas/XLA parity tolerance
+# (2e-5; the full CPU suite passes at 3.5) and far below anything the
+# photometric loss can see. 3.0 measurably breaks the 2e-5 parity, so 3.5
+# is the quality-safe floor. Swept on v5e-1 at 2852 faces: 4.5 -> 3.5 is
+# -0.5 ms fwd+bwd (20.66 -> 20.17; toy 11.83 -> 11.38) — the margin is a
+# minor share of the chunk y-intervals (occupancy shows ~6 hit chunks per
+# row block either way). Env-overridable for sweeps (sweep_raster.py
+# reloads this module).
+CUTOFF_SIGMAS = float(os.environ.get("HOCON_CUTOFF_SIGMAS", "3.5"))
 _BIG_NEG = -1e4  # inert-face edge constant; squared stays in f32 range
 # Fixed-reference softmax (forward fast path): every logit is bounded —
 # log(sigmoid) <= 0 and -zbar/gamma >= -1/gamma — so when 1/gamma is

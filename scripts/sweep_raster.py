@@ -31,7 +31,7 @@ def main():
     )
     ap.add_argument(
         "--configs", nargs="*", default=None,
-        help="fc,rb,xb tuples, e.g. 32,8,256 16,8,128",
+        help="fc,rb,xb[,cutoff_sigmas] tuples, e.g. 32,8,256 32,8,256,3.5",
     )
     args = ap.parse_args()
 
@@ -72,10 +72,11 @@ def main():
     vz = verts[..., 2]
     attrs = vp * 0.01
 
-    def run_cfg(fc, rb, xb):
+    def run_cfg(fc, rb, xb, cutoff=4.5):
         os.environ["HOCON_FACE_CHUNK"] = str(fc)
         os.environ["HOCON_ROW_BLOCK"] = str(rb)
         os.environ["HOCON_LANE_BLOCK"] = str(xb)
+        os.environ["HOCON_CUTOFF_SIGMAS"] = str(cutoff)
         import hocon.render.raster as R
         import hocon.render.raster_pallas as RP
 
@@ -106,13 +107,20 @@ def main():
         t_f = timeit(fwd)
         t_fb = timeit(bwd)
         print(
-            f"FC={fc:>2} RB={rb:>2} XB={xb:>3} | fwd {t_f:6.2f} ms"
+            f"FC={fc:>2} RB={rb:>2} XB={xb:>3} CUT={cutoff:3.1f} | "
+            f"fwd {t_f:6.2f} ms"
             f" | fwd+bwd {t_fb:6.2f} ms | bwd {t_fb - t_f:6.2f} ms",
             flush=True,
         )
 
     if args.configs:
-        configs = [tuple(int(v) for v in c.split(",")) for c in args.configs]
+        configs = [
+            tuple(
+                float(v) if i == 3 else int(v)
+                for i, v in enumerate(c.split(","))
+            )
+            for c in args.configs
+        ]
     else:
         configs = [
             (32, 8, 256),  # current default
