@@ -139,6 +139,17 @@ def _prod_axis0(t: jnp.ndarray) -> jnp.ndarray:
     return t
 
 
+# CLOSED EXPERIMENT (round 4h, v5e-1, measurements/sweep_ysort_real.log):
+# replacing the float argsort below with a counting sort over fixed-height
+# y bins (onehot + cumsum rank + one inverting scatter; bins of 2/4/8 rows)
+# LOST decisively at the realistic face count (2852 faces, cull on,
+# CUT=3.5): fwd+bwd 20.04 ms argsort vs 21.87/24.21/24.12 ms for
+# bucket2/4/8, and the full train step regressed 399.9 -> 377.9 pairs/s.
+# Two compounding causes: (a) the (F, H/bin) onehot-cumsum plus the
+# permutation-inverting scatter cost MORE on TPU than XLA's bitonic
+# argsort at this F; (b) coarser bins widen chunk y-extents, inflating
+# kernel block work. Don't re-attempt without a much larger F or a
+# scatter-free rank construction.
 def sort_faces_by_y(
     verts_pix: jnp.ndarray,
     faces: jnp.ndarray,
