@@ -6,6 +6,13 @@ crops, ResNet-18 trunk (bf16), MANO layer, Pallas soft rasterizer at
 256x256 with hand+object mesh, masked SSIM+L1 warp loss, full backward +
 Adam update.
 
+Since round 5 the bare invocation renders the REALISTIC object (a
+1280-face decimated-YCB-scale sphere, ~2.85k faces total with the hand) —
+the workload the README headlines; real-data raster work looks like this.
+``--toy`` restores the 12-face box used by rounds 1-4 (BENCH_r01..r04 are
+toy-workload numbers; cross-round comparability breaks at round 5 —
+RESULTS.md documents both series).
+
 ``vs_baseline``: the reference never published training throughput
 (BASELINE.md); we use a provisional estimate of 25 frame-pairs/sec for the
 PyTorch reference on its single contemporary GPU (ResNet-18 + NMR CUDA
@@ -80,17 +87,17 @@ def main():
     if jax.devices()[0].platform != "cpu":
         probe_tunnel(jax, jnp)
 
-    # Optional realistic-object variant: `python bench.py --obj_faces 1280`
-    # renders a YCB-scale (decimated) sphere instead of the 12-face box, so
-    # the number reflects real-data raster workloads (SURVEY.md §2.2). The
-    # bare invocation (the driver's) keeps the box for cross-round
-    # comparability.
     import argparse
 
     ap = argparse.ArgumentParser("bench")
-    ap.add_argument("--obj_faces", type=int, default=0)
+    ap.add_argument("--obj_faces", type=int, default=1280,
+                    help="object mesh faces before hand merge (default: the "
+                         "realistic decimated-YCB-scale sphere)")
+    ap.add_argument("--toy", action="store_true",
+                    help="rounds-1-4 workload: 12-face box object")
     cli = ap.parse_args()
-    obj_faces = cli.obj_faces
+    obj_faces = 0 if cli.toy else cli.obj_faces
+    log(f"workload: {'toy 12-face box' if obj_faces == 0 else f'{obj_faces}-face object'}")
 
     mano = synthetic_mano_model(0)
     t0 = time.perf_counter()
@@ -118,16 +125,26 @@ def main():
         model, mano, optimizer, image_size=(RES, RES), backend="auto",
     )
 
+    # AOT compile with per-phase logging so a driver-captured bench can
+    # distinguish "tracing/lowering (host CPU)" from "compiling
+    # (tunnel-bound)" from "hung" (VERDICT r4 #7).
+    t0 = time.perf_counter()
+    lowered = step.lower(state, batch)
+    log(f"trace+lower: {time.perf_counter() - t0:.1f}s")
+    t0 = time.perf_counter()
+    compiled = lowered.compile()
+    log(f"XLA compile: {time.perf_counter() - t0:.1f}s")
+
     t0 = time.perf_counter()
     for _ in range(WARMUP_STEPS):
-        state, terms = step(state, batch)
+        state, terms = compiled(state, batch)
     jax.block_until_ready(state.params)
-    log(f"compile+warmup ({WARMUP_STEPS} steps): {time.perf_counter() - t0:.1f}s; "
+    log(f"warmup ({WARMUP_STEPS} steps): {time.perf_counter() - t0:.1f}s; "
         f"loss={float(terms['loss_total']):.4f}")
 
     t0 = time.perf_counter()
     for _ in range(TIMED_STEPS):
-        state, terms = step(state, batch)
+        state, terms = compiled(state, batch)
     jax.block_until_ready(state.params)
     dt = time.perf_counter() - t0
 
@@ -135,9 +152,12 @@ def main():
     log(f"{TIMED_STEPS} steps in {dt:.3f}s -> "
         f"{pairs_per_sec_per_chip:.2f} pairs/s/chip")
 
+    workload = "toy box object" if obj_faces == 0 else \
+        f"realistic {obj_faces}-face object"
     print(json.dumps({
         "metric": "frame-pairs/sec/chip, photometric-consistency train step "
-                  "(256px, ResNet-18 bf16, Pallas soft raster, batch 16)",
+                  "(256px, ResNet-18 bf16, Pallas soft raster, batch 16, "
+                  f"{workload})",
         "value": round(pairs_per_sec_per_chip, 3),
         "unit": "pairs/s/chip",
         "vs_baseline": round(

@@ -139,6 +139,20 @@ def _prod_axis0(t: jnp.ndarray) -> jnp.ndarray:
     return t
 
 
+# CLOSED EXPERIMENT (round 5, v5e-1, measurements/fastmath_r5_ab.log):
+# kernel-body fast transcendentals LOST. A degree-5 exp2-polynomial exp
+# (bit-built 2^n scale, max rel err 5.7e-6 — under the 2e-5 parity) made
+# the realistic raster fwd ~9% SLOWER (6.88 -> 7.64 ms; fwd+bwd 18.58 ->
+# 20.00): TPU's hardware exp is one fast VPU transcendental, and the
+# poly+bitcast replaces it with ~10 cheap ops that aren't cheaper. An
+# approximate reciprocal (pl.reciprocal approx=True) + 2 Newton steps for
+# the sigmoid divides measured a wash (18.42 vs 18.58 fwd+bwd, inside the
+# ~0.7% run-to-run spread; ONE Newton step breaks 2e-5 forward parity —
+# the per-face reciprocal error compounds ~8-16x through the silhouette
+# product over overlapping faces). Both deleted; the kernels are not
+# transcendental-bound. Don't re-attempt without profile evidence that
+# exp/divide issue slots are the bottleneck.
+
 # CLOSED EXPERIMENT (round 4h, v5e-1, measurements/sweep_ysort_real.log):
 # replacing the float argsort below with a counting sort over fixed-height
 # y bins (onehot + cumsum rank + one inverting scatter; bins of 2/4/8 rows)
