@@ -1,0 +1,70 @@
+"""Summarize consistency-gain seed runs (VERDICT r4 #5).
+
+Reads `repro_synthetic_consistency.py` result-JSON lines (one per seed)
+from the given log/JSON files plus the hard-coded table of committed
+rounds-2/4 results, groups by workload (obj_faces), and prints per-group
+mean/std of the gain, the one-sided paired t statistic against zero, and
+a normal-approximation p-value — the significance statement RESULTS.md
+quotes.
+
+Usage: python scripts/summarize_consistency.py [log_or_json ...]
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import re
+import sys
+
+# Committed results from RESULTS.md (rounds 2 and 4) keyed by
+# (obj_faces, seed) -> gain vs the equal-compute control, in mm.
+COMMITTED = {
+    (0, 0): 5.05, (0, 1): -0.40, (0, 2): 1.96,
+    (1280, 0): -0.82, (1280, 1): 1.07, (1280, 2): 0.53,
+    (1280, 3): 1.79, (1280, 4): 0.70, (1280, 5): 0.89,
+}
+
+
+def t_stats(gains):
+    n = len(gains)
+    mean = sum(gains) / n
+    var = sum((g - mean) ** 2 for g in gains) / (n - 1) if n > 1 else 0.0
+    std = math.sqrt(var)
+    t = mean / (std / math.sqrt(n)) if std > 0 else float("inf")
+    # One-sided p via the normal approximation (adequate at n>=10; the
+    # exact t CDF isn't in the stdlib and scipy is not a dependency).
+    p = 0.5 * math.erfc(t / math.sqrt(2.0))
+    return mean, std, t, p
+
+
+def main(paths):
+    rows = dict(COMMITTED)
+    for path in paths:
+        with open(path) as f:
+            for line in f:
+                line = line.strip()
+                if not (line.startswith("{") and "consistency_gain_mm" in line):
+                    continue
+                # Logs may prefix-wrap JSON; grab the outermost object.
+                m = re.search(r"\{.*\}", line)
+                try:
+                    d = json.loads(m.group(0))
+                except (json.JSONDecodeError, AttributeError):
+                    continue
+                rows[(d["obj_faces"], d["seed"])] = d["consistency_gain_mm"]
+
+    for faces in sorted({k[0] for k in rows}):
+        seeds = sorted(s for f, s in rows if f == faces)
+        gains = [rows[(faces, s)] for s in seeds]
+        mean, std, t, p = t_stats(gains)
+        name = "box (12-face)" if faces == 0 else f"realistic ({faces}-face)"
+        pos = sum(g > 0 for g in gains)
+        print(f"{name}: n={len(gains)} seeds={seeds}")
+        print(f"  gains: {gains}")
+        print(f"  mean +{mean:.2f} mm  std {std:.2f}  {pos}/{len(gains)} "
+              f"positive  one-sided t={t:.2f}  p~{p:.4f}")
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])
