@@ -17,6 +17,9 @@
 set -u
 LOG="${1:-/tmp/tpu_batch.log}"
 cd "$(dirname "$0")/.."
+# Absolute LOG: the trainwarp stage runs in a cd'd subshell, where a
+# relative tee target silently writes into the drive dir.
+LOG="$(cd "$(dirname "$LOG")" && pwd)/$(basename "$LOG")"
 # Pin imports to THIS tree: when the batch runs from a snapshot worktree,
 # scripts/* entrypoints put scripts/ (not the root) at sys.path[0], and
 # the editable install then resolves `hocon` from /root/repo — measuring

@@ -10,6 +10,10 @@
 set -u
 LOG="${1:-/tmp/tpu_batch_r5a.log}"
 cd "$(dirname "$0")/.."
+# Absolute LOG: the trainwarp stage runs in a cd'd subshell, where a
+# relative tee target silently writes into the drive dir (lost the r5a
+# trainwarp console output).
+LOG="$(cd "$(dirname "$LOG")" && pwd)/$(basename "$LOG")"
 export PYTHONPATH="$(pwd):${PYTHONPATH:-}"
 
 run() {
