@@ -30,12 +30,12 @@ def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
-FRACTION = 0.125  # 1 annotated frame per 8-frame video
+FRACTION = 0.125  # 1 annotated frame per 8-frame video (default)
 RES = 128
 BATCH = 16
 STEPS_BASE = 300
 STEPS_WARP = 300
-VIDEOS, FRAMES = 8, 8
+VIDEOS, FRAMES = 8, 8  # defaults; --frames overrides (sparsity ablation)
 
 
 # Model + jitted step functions are SEED-INDEPENDENT (seeds only change
@@ -73,7 +73,8 @@ def _engine(with_object: bool):
     return _ENGINE[with_object]
 
 
-def main(seed: int = 0, obj_faces: int = 0):
+def main(seed: int = 0, obj_faces: int = 0, fraction: float = FRACTION,
+         frames: int = FRAMES):
     from hocon.data.factory import get_dataset
     from hocon.data.pipeline import BatchLoader
     from hocon.evaluation.zimeval import EvalUtil
@@ -85,13 +86,13 @@ def main(seed: int = 0, obj_faces: int = 0):
 
     common = dict(
         image_size=RES, use_objects=with_object, mano=mano,
-        synth_videos=VIDEOS, synth_frames=FRAMES, seed=seed,
+        synth_videos=VIDEOS, synth_frames=frames, seed=seed,
         synth_obj_faces=obj_faces,
     )
     t0 = time.time()
-    ds_single = get_dataset("synthetic", "train", fraction=FRACTION,
+    ds_single = get_dataset("synthetic", "train", fraction=fraction,
                             train=True, **common)
-    ds_pair = get_dataset("synthetic", "train", fraction=FRACTION,
+    ds_pair = get_dataset("synthetic", "train", fraction=fraction,
                           train=True, pair_mode=True, pair_spacing=3, **common)
     ds_eval = get_dataset("synthetic", "train", fraction=1.0, train=False,
                           **common)
@@ -179,7 +180,8 @@ def main(seed: int = 0, obj_faces: int = 0):
     print(json.dumps({
         "seed": seed,
         "obj_faces": obj_faces,
-        "fraction": FRACTION,
+        "fraction": fraction,
+        "frames_per_video": frames,
         "baseline_mpjpe_unannotated_mm": round(base_unsup, 2),
         "control_extra_steps_mpjpe_unannotated_mm": round(ctrl_unsup, 2),
         "warp_mpjpe_unannotated_mm": round(warp_unsup, 2),
@@ -194,12 +196,22 @@ if __name__ == "__main__":
 
     ap = argparse.ArgumentParser("repro_synthetic_consistency")
     ap.add_argument("--obj_faces", type=int, default=0)
+    ap.add_argument("--fraction", type=float, default=[FRACTION], nargs="+",
+                    help="annotated-frame fraction(s); several values run "
+                         "a sparsity ablation in one process")
+    ap.add_argument("--frames", type=int, default=FRAMES,
+                    help="frames per synthetic video (16 enables "
+                         "fractions down to 1/16)")
     ap.add_argument("seeds_pos", nargs="*", type=int)
     cli = ap.parse_args()
     obj_faces, argv = cli.obj_faces, cli.seeds_pos
-    # Multiple seeds run in ONE process: the train/eval step shapes are
-    # seed-independent, so seeds 2..N reuse seed 1's jit cache — over the
-    # tunnel that turns ~3x compile cost into ~1x.
+    # Multiple seeds/fractions run in ONE process: the train/eval step
+    # shapes are seed- and fraction-independent, so runs 2..N reuse run
+    # 1's jit cache — over the tunnel that turns ~Nx compile cost into ~1x
+    # (the per-seed render is also disk-cached across fractions).
     seeds = [int(s) for s in argv] or [0]
-    for seed in seeds:
-        main(seed, obj_faces=obj_faces)
+    fractions = cli.fraction if isinstance(cli.fraction, list) else [cli.fraction]
+    for fraction in fractions:
+        for seed in seeds:
+            main(seed, obj_faces=obj_faces, fraction=fraction,
+                 frames=cli.frames)
