@@ -18,11 +18,14 @@ import re
 import sys
 
 # Committed results from RESULTS.md (rounds 2 and 4) keyed by
-# (obj_faces, seed) -> gain vs the equal-compute control, in mm.
+# (obj_faces, fraction, frames_per_video, seed) -> gain vs the
+# equal-compute control, in mm. (Rounds 2/4 all ran the default
+# fraction=0.125, frames=8 protocol.)
 COMMITTED = {
-    (0, 0): 5.05, (0, 1): -0.40, (0, 2): 1.96,
-    (1280, 0): -0.82, (1280, 1): 1.07, (1280, 2): 0.53,
-    (1280, 3): 1.79, (1280, 4): 0.70, (1280, 5): 0.89,
+    (0, 0.125, 8, 0): 5.05, (0, 0.125, 8, 1): -0.40, (0, 0.125, 8, 2): 1.96,
+    (1280, 0.125, 8, 0): -0.82, (1280, 0.125, 8, 1): 1.07,
+    (1280, 0.125, 8, 2): 0.53, (1280, 0.125, 8, 3): 1.79,
+    (1280, 0.125, 8, 4): 0.70, (1280, 0.125, 8, 5): 0.89,
 }
 
 
@@ -52,15 +55,18 @@ def main(paths):
                     d = json.loads(m.group(0))
                 except (json.JSONDecodeError, AttributeError):
                     continue
-                rows[(d["obj_faces"], d["seed"])] = d["consistency_gain_mm"]
+                key = (d["obj_faces"], d.get("fraction", 0.125),
+                       d.get("frames_per_video", 8), d["seed"])
+                rows[key] = d["consistency_gain_mm"]
 
-    for faces in sorted({k[0] for k in rows}):
-        seeds = sorted(s for f, s in rows if f == faces)
-        gains = [rows[(faces, s)] for s in seeds]
+    for faces, frac, frames in sorted({k[:3] for k in rows}):
+        seeds = sorted(k[3] for k in rows if k[:3] == (faces, frac, frames))
+        gains = [rows[(faces, frac, frames, s)] for s in seeds]
         mean, std, t, p = t_stats(gains)
         name = "box (12-face)" if faces == 0 else f"realistic ({faces}-face)"
         pos = sum(g > 0 for g in gains)
-        print(f"{name}: n={len(gains)} seeds={seeds}")
+        print(f"{name}, fraction={frac:g}, {frames}-frame videos: "
+              f"n={len(gains)} seeds={seeds}")
         print(f"  gains: {gains}")
         print(f"  mean +{mean:.2f} mm  std {std:.2f}  {pos}/{len(gains)} "
               f"positive  one-sided t={t:.2f}  p~{p:.4f}")

@@ -32,12 +32,19 @@ def test_log_parsing_merges_and_overrides(tmp_path, capsys):
         "=== [consist-box] 10:00:00 :: python ...",  # non-JSON noise
         json.dumps({"seed": 3, "obj_faces": 0, "consistency_gain_mm": 2.0}),
         json.dumps({"seed": 0, "obj_faces": 0, "consistency_gain_mm": 9.9}),
+        # A sparsity-ablation row must form its OWN group, not merge into
+        # the default fraction=0.125/frames=8 table.
+        json.dumps({"seed": 0, "obj_faces": 0, "fraction": 0.0625,
+                    "frames_per_video": 16, "consistency_gain_mm": 4.0}),
         '{"broken json": ',  # must not crash the parser
     ]
     log.write_text("\n".join(lines) + "\n")
     sc.main([str(log)])
     out = capsys.readouterr().out
     # Committed seed 0 (5.05) is overridden by the log's 9.9; seed 3 added.
-    assert "box (12-face): n=4 seeds=[0, 1, 2, 3]" in out
+    assert ("box (12-face), fraction=0.125, 8-frame videos: "
+            "n=4 seeds=[0, 1, 2, 3]") in out
     assert "9.9" in out and "5.05" not in out
-    assert "realistic (1280-face): n=6" in out
+    assert ("box (12-face), fraction=0.0625, 16-frame videos: "
+            "n=1 seeds=[0]") in out
+    assert "realistic (1280-face), fraction=0.125, 8-frame videos: n=6" in out
