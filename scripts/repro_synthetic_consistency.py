@@ -211,6 +211,15 @@ if __name__ == "__main__":
     # (the per-seed render is also disk-cached across fractions).
     seeds = [int(s) for s in argv] or [0]
     fractions = cli.fraction if isinstance(cli.fraction, list) else [cli.fraction]
+    # Guard against the nargs="+" footgun: `--fraction 0.25 0.125 0 1 2`
+    # silently eats trailing SEEDS as fractions (burned batch r5c attempt
+    # 1 — seed 0 ran with bogus fractions 1.0/2.0 while seeds 1-2 never
+    # ran). Pass seeds FIRST: `... 0 1 2 --fraction 0.25 0.125`.
+    bad = [f for f in fractions if not 0.0 <= f <= 1.0]
+    if bad:
+        ap.error(f"--fraction values outside [0, 1]: {bad} "
+                 "(did trailing positional seeds get consumed? "
+                 "put seeds before --fraction)")
     for fraction in fractions:
         for seed in seeds:
             main(seed, obj_faces=obj_faces, fraction=fraction,

@@ -33,5 +33,5 @@ print('matmul compile+run %.1fs' % (time.time() - t0))
 fi
 
 run sparsity 13000 python -u scripts/repro_synthetic_consistency.py \
-  --frames 16 --fraction 0.25 0.125 0.0625 0 1 2
+  0 1 2 --frames 16 --fraction 0.25 0.125 0.0625
 echo "=== tpu_batch_r5c done $(date)" | tee -a "$LOG"
