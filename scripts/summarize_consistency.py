@@ -68,7 +68,7 @@ def main(paths):
         print(f"{name}, fraction={frac:g}, {frames}-frame videos: "
               f"n={len(gains)} seeds={seeds}")
         print(f"  gains: {gains}")
-        print(f"  mean +{mean:.2f} mm  std {std:.2f}  {pos}/{len(gains)} "
+        print(f"  mean {mean:+.2f} mm  std {std:.2f}  {pos}/{len(gains)} "
               f"positive  one-sided t={t:.2f}  p~{p:.4f}")
 
 
