@@ -8,12 +8,16 @@ a normal-approximation p-value — the significance statement RESULTS.md
 quotes.
 
 Usage: python scripts/summarize_consistency.py [log_or_json ...]
+With no arguments, scans every committed `measurements/tpu_batch_*.log`
+— the argless call reproduces every seed table in RESULTS.md.
 """
 
 from __future__ import annotations
 
+import glob
 import json
 import math
+import os
 import re
 import sys
 
@@ -57,7 +61,9 @@ def main(paths):
                     continue
                 key = (d["obj_faces"], d.get("fraction", 0.125),
                        d.get("frames_per_video", 8), d["seed"])
-                rows[key] = d["consistency_gain_mm"]
+                gain = d["consistency_gain_mm"]
+                if math.isfinite(gain):  # fraction=1.0 has no unannotated
+                    rows[key] = gain     # frames -> NaN; skip such runs
 
     for faces, frac, frames in sorted({k[:3] for k in rows}):
         seeds = sorted(k[3] for k in rows if k[:3] == (faces, frac, frames))
@@ -73,4 +79,10 @@ def main(paths):
 
 
 if __name__ == "__main__":
-    main(sys.argv[1:])
+    paths = sys.argv[1:]
+    if not paths:
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        paths = sorted(p for p in glob.glob(os.path.join(
+            repo, "measurements", "tpu_batch_*.log"))
+            if "_attempt" not in os.path.basename(p))
+    main(paths)
