@@ -44,7 +44,7 @@ VIDEOS, FRAMES = 8, 8  # defaults; --frames overrides (sparsity ablation)
 _ENGINE = {}
 
 
-def _engine(with_object: bool):
+def _engine(with_object: bool, lambda_consist: float = 2.0):
     import jax.numpy as jnp
 
     from hocon.geometry.mano import synthetic_mano_model
@@ -56,32 +56,34 @@ def _engine(with_object: bool):
         make_warp_train_step,
     )
 
-    if with_object not in _ENGINE:
+    key = (with_object, lambda_consist)
+    if key not in _ENGINE:
         mano = synthetic_mano_model(0)
         model = HOCNet(with_object=with_object, freeze_batchnorm=True,
                        dtype=jnp.bfloat16)
         optimizer = make_optimizer("adam", 2e-4)
-        _ENGINE[with_object] = dict(
+        _ENGINE[key] = dict(
             mano=mano, model=model, optimizer=optimizer,
             step_base=make_train_step(model, mano, optimizer),
             step_warp=make_warp_train_step(
                 model, mano, optimizer, image_size=(RES, RES),
-                lambda_consist=2.0, consist_gt_refs=True, backend="auto",
+                lambda_consist=lambda_consist, consist_gt_refs=True,
+                backend="auto",
             ),
             eval_step=make_eval_step(model, mano),
         )
-    return _ENGINE[with_object]
+    return _ENGINE[key]
 
 
 def main(seed: int = 0, obj_faces: int = 0, fraction: float = FRACTION,
-         frames: int = FRAMES):
+         frames: int = FRAMES, lambda_consist: float = 2.0):
     from hocon.data.factory import get_dataset
     from hocon.data.pipeline import BatchLoader
     from hocon.evaluation.zimeval import EvalUtil
     from hocon.train.state import create_train_state
 
     with_object = obj_faces > 0
-    eng = _engine(with_object)
+    eng = _engine(with_object, lambda_consist)
     mano, model, optimizer = eng["mano"], eng["model"], eng["optimizer"]
 
     common = dict(
@@ -182,6 +184,7 @@ def main(seed: int = 0, obj_faces: int = 0, fraction: float = FRACTION,
         "obj_faces": obj_faces,
         "fraction": fraction,
         "frames_per_video": frames,
+        "lambda_consist": lambda_consist,
         "baseline_mpjpe_unannotated_mm": round(base_unsup, 2),
         "control_extra_steps_mpjpe_unannotated_mm": round(ctrl_unsup, 2),
         "warp_mpjpe_unannotated_mm": round(warp_unsup, 2),
@@ -202,6 +205,9 @@ if __name__ == "__main__":
     ap.add_argument("--frames", type=int, default=FRAMES,
                     help="frames per synthetic video (16 enables "
                          "fractions down to 1/16)")
+    ap.add_argument("--lambda_consist", type=float, default=2.0,
+                    help="photometric-consistency loss weight in the warp "
+                         "phase (diagnostic knob for divergent runs)")
     ap.add_argument("seeds_pos", nargs="*", type=int)
     cli = ap.parse_args()
     obj_faces, argv = cli.obj_faces, cli.seeds_pos
@@ -223,4 +229,4 @@ if __name__ == "__main__":
     for fraction in fractions:
         for seed in seeds:
             main(seed, obj_faces=obj_faces, fraction=fraction,
-                 frames=cli.frames)
+                 frames=cli.frames, lambda_consist=cli.lambda_consist)

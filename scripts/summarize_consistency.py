@@ -26,10 +26,11 @@ import sys
 # equal-compute control, in mm. (Rounds 2/4 all ran the default
 # fraction=0.125, frames=8 protocol.)
 COMMITTED = {
-    (0, 0.125, 8, 0): 5.05, (0, 0.125, 8, 1): -0.40, (0, 0.125, 8, 2): 1.96,
-    (1280, 0.125, 8, 0): -0.82, (1280, 0.125, 8, 1): 1.07,
-    (1280, 0.125, 8, 2): 0.53, (1280, 0.125, 8, 3): 1.79,
-    (1280, 0.125, 8, 4): 0.70, (1280, 0.125, 8, 5): 0.89,
+    (0, 0.125, 8, 2.0, 0): 5.05, (0, 0.125, 8, 2.0, 1): -0.40,
+    (0, 0.125, 8, 2.0, 2): 1.96,
+    (1280, 0.125, 8, 2.0, 0): -0.82, (1280, 0.125, 8, 2.0, 1): 1.07,
+    (1280, 0.125, 8, 2.0, 2): 0.53, (1280, 0.125, 8, 2.0, 3): 1.79,
+    (1280, 0.125, 8, 2.0, 4): 0.70, (1280, 0.125, 8, 2.0, 5): 0.89,
 }
 
 
@@ -60,18 +61,21 @@ def main(paths):
                 except (json.JSONDecodeError, AttributeError):
                     continue
                 key = (d["obj_faces"], d.get("fraction", 0.125),
-                       d.get("frames_per_video", 8), d["seed"])
+                       d.get("frames_per_video", 8),
+                       d.get("lambda_consist", 2.0), d["seed"])
                 gain = d["consistency_gain_mm"]
                 if math.isfinite(gain):  # fraction=1.0 has no unannotated
                     rows[key] = gain     # frames -> NaN; skip such runs
 
-    for faces, frac, frames in sorted({k[:3] for k in rows}):
-        seeds = sorted(k[3] for k in rows if k[:3] == (faces, frac, frames))
-        gains = [rows[(faces, frac, frames, s)] for s in seeds]
+    for faces, frac, frames, lam in sorted({k[:4] for k in rows}):
+        group = (faces, frac, frames, lam)
+        seeds = sorted(k[4] for k in rows if k[:4] == group)
+        gains = [rows[group + (s,)] for s in seeds]
         mean, std, t, p = t_stats(gains)
         name = "box (12-face)" if faces == 0 else f"realistic ({faces}-face)"
         pos = sum(g > 0 for g in gains)
-        print(f"{name}, fraction={frac:g}, {frames}-frame videos: "
+        lam_tag = "" if lam == 2.0 else f", lambda_consist={lam:g}"
+        print(f"{name}, fraction={frac:g}, {frames}-frame videos{lam_tag}: "
               f"n={len(gains)} seeds={seeds}")
         print(f"  gains: {gains}")
         print(f"  mean {mean:+.2f} mm  std {std:.2f}  {pos}/{len(gains)} "
