@@ -76,7 +76,8 @@ def _engine(with_object: bool, lambda_consist: float = 2.0):
 
 
 def main(seed: int = 0, obj_faces: int = 0, fraction: float = FRACTION,
-         frames: int = FRAMES, lambda_consist: float = 2.0):
+         frames: int = FRAMES, lambda_consist: float = 2.0,
+         spacing: int = 3):
     from hocon.data.factory import get_dataset
     from hocon.data.pipeline import BatchLoader
     from hocon.evaluation.zimeval import EvalUtil
@@ -95,7 +96,8 @@ def main(seed: int = 0, obj_faces: int = 0, fraction: float = FRACTION,
     ds_single = get_dataset("synthetic", "train", fraction=fraction,
                             train=True, **common)
     ds_pair = get_dataset("synthetic", "train", fraction=fraction,
-                          train=True, pair_mode=True, pair_spacing=3, **common)
+                          train=True, pair_mode=True, pair_spacing=spacing,
+                          **common)
     ds_eval = get_dataset("synthetic", "train", fraction=1.0, train=False,
                           **common)
     log(f"datasets built in {time.time() - t0:.0f}s")
@@ -185,6 +187,7 @@ def main(seed: int = 0, obj_faces: int = 0, fraction: float = FRACTION,
         "fraction": fraction,
         "frames_per_video": frames,
         "lambda_consist": lambda_consist,
+        "spacing": spacing,
         "baseline_mpjpe_unannotated_mm": round(base_unsup, 2),
         "control_extra_steps_mpjpe_unannotated_mm": round(ctrl_unsup, 2),
         "warp_mpjpe_unannotated_mm": round(warp_unsup, 2),
@@ -208,6 +211,10 @@ if __name__ == "__main__":
     ap.add_argument("--lambda_consist", type=float, default=2.0,
                     help="photometric-consistency loss weight in the warp "
                          "phase (diagnostic knob for divergent runs)")
+    ap.add_argument("--spacing", type=int, default=[3], nargs="+",
+                    help="temporal pair spacing(s) in frames (the "
+                         "reference's --spacing; several values run a "
+                         "spacing ablation in one process)")
     ap.add_argument("seeds_pos", nargs="*", type=int)
     cli = ap.parse_args()
     obj_faces, argv = cli.obj_faces, cli.seeds_pos
@@ -226,7 +233,15 @@ if __name__ == "__main__":
         ap.error(f"--fraction values outside [0, 1]: {bad} "
                  "(did trailing positional seeds get consumed? "
                  "put seeds before --fraction)")
+    spacings = cli.spacing if isinstance(cli.spacing, list) else [cli.spacing]
+    bad_s = [s for s in spacings if not 1 <= s < cli.frames]
+    if bad_s:
+        ap.error(f"--spacing values outside [1, frames): {bad_s} "
+                 "(did trailing positional seeds get consumed? "
+                 "put seeds before --spacing)")
     for fraction in fractions:
-        for seed in seeds:
-            main(seed, obj_faces=obj_faces, fraction=fraction,
-                 frames=cli.frames, lambda_consist=cli.lambda_consist)
+        for spacing in spacings:
+            for seed in seeds:
+                main(seed, obj_faces=obj_faces, fraction=fraction,
+                     frames=cli.frames, lambda_consist=cli.lambda_consist,
+                     spacing=spacing)

@@ -26,11 +26,11 @@ import sys
 # equal-compute control, in mm. (Rounds 2/4 all ran the default
 # fraction=0.125, frames=8 protocol.)
 COMMITTED = {
-    (0, 0.125, 8, 2.0, 0): 5.05, (0, 0.125, 8, 2.0, 1): -0.40,
-    (0, 0.125, 8, 2.0, 2): 1.96,
-    (1280, 0.125, 8, 2.0, 0): -0.82, (1280, 0.125, 8, 2.0, 1): 1.07,
-    (1280, 0.125, 8, 2.0, 2): 0.53, (1280, 0.125, 8, 2.0, 3): 1.79,
-    (1280, 0.125, 8, 2.0, 4): 0.70, (1280, 0.125, 8, 2.0, 5): 0.89,
+    (0, 0.125, 8, 2.0, 3, 0): 5.05, (0, 0.125, 8, 2.0, 3, 1): -0.40,
+    (0, 0.125, 8, 2.0, 3, 2): 1.96,
+    (1280, 0.125, 8, 2.0, 3, 0): -0.82, (1280, 0.125, 8, 2.0, 3, 1): 1.07,
+    (1280, 0.125, 8, 2.0, 3, 2): 0.53, (1280, 0.125, 8, 2.0, 3, 3): 1.79,
+    (1280, 0.125, 8, 2.0, 3, 4): 0.70, (1280, 0.125, 8, 2.0, 3, 5): 0.89,
 }
 
 
@@ -62,21 +62,23 @@ def main(paths):
                     continue
                 key = (d["obj_faces"], d.get("fraction", 0.125),
                        d.get("frames_per_video", 8),
-                       d.get("lambda_consist", 2.0), d["seed"])
+                       d.get("lambda_consist", 2.0),
+                       d.get("spacing", 3), d["seed"])
                 gain = d["consistency_gain_mm"]
                 if math.isfinite(gain):  # fraction=1.0 has no unannotated
                     rows[key] = gain     # frames -> NaN; skip such runs
 
-    for faces, frac, frames, lam in sorted({k[:4] for k in rows}):
-        group = (faces, frac, frames, lam)
-        seeds = sorted(k[4] for k in rows if k[:4] == group)
+    for faces, frac, frames, lam, spc in sorted({k[:5] for k in rows}):
+        group = (faces, frac, frames, lam, spc)
+        seeds = sorted(k[5] for k in rows if k[:5] == group)
         gains = [rows[group + (s,)] for s in seeds]
         mean, std, t, p = t_stats(gains)
         name = "box (12-face)" if faces == 0 else f"realistic ({faces}-face)"
         pos = sum(g > 0 for g in gains)
         lam_tag = "" if lam == 2.0 else f", lambda_consist={lam:g}"
-        print(f"{name}, fraction={frac:g}, {frames}-frame videos{lam_tag}: "
-              f"n={len(gains)} seeds={seeds}")
+        spc_tag = "" if spc == 3 else f", spacing={spc}"
+        print(f"{name}, fraction={frac:g}, {frames}-frame videos"
+              f"{lam_tag}{spc_tag}: n={len(gains)} seeds={seeds}")
         print(f"  gains: {gains}")
         print(f"  mean {mean:+.2f} mm  std {std:.2f}  {pos}/{len(gains)} "
               f"positive  one-sided t={t:.2f}  p~{p:.4f}")
